@@ -1,0 +1,60 @@
+"""Host->device staging of compiled topology.
+
+Converts a :class:`~smoothmesh_tpu.mesh.topology.MeshTopology` into a
+flat dict of ``jnp`` arrays (the "device topology") consumed by the
+kernels in :mod:`smoothmesh_tpu.ops` and :mod:`smoothmesh_tpu.geometry`.
+Keeping it a plain dict of arrays makes it a pytree that can be donated,
+sharded with ``jax.device_put`` + NamedSharding, or closed over by jit.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from smoothmesh_tpu.mesh.topology import MeshTopology
+
+
+def to_device(topo: MeshTopology) -> Dict[str, jnp.ndarray]:
+    """Stage all topology arrays (int32 indices, bool masks) on device."""
+    real_patch = np.array(
+        [t not in ("processor", "empty") for t in topo.patch_types], dtype=bool
+    )
+    face_is_real_boundary = np.zeros(topo.n_faces, dtype=bool)
+    bnd = topo.face_patch >= 0
+    face_is_real_boundary[bnd] = real_patch[topo.face_patch[bnd]]
+
+    host = {
+        "face_points": topo.face_points,
+        "face_points_next": topo.face_points_next,
+        "face_mask": topo.face_mask,
+        "face_npoints": topo.face_npoints,
+        "owner": topo.owner,
+        "neighbour": topo.neighbour,
+        "has_neighbour": topo.has_neighbour,
+        "edges": topo.edges,
+        "edge_faces": topo.edge_faces,
+        "edge_faces_mask": topo.edge_faces_mask,
+        "edge_cells": topo.edge_cells,
+        "edge_cells_mask": topo.edge_cells_mask,
+        "edge_cell_f0": topo.edge_cell_f0,
+        "edge_cell_f1": topo.edge_cell_f1,
+        "point_points": topo.point_points,
+        "point_points_mask": topo.point_points_mask,
+        "point_cells": topo.point_cells,
+        "point_cells_mask": topo.point_cells_mask,
+        "point_faces": topo.point_faces,
+        "point_faces_mask": topo.point_faces_mask,
+        "point_edges": topo.point_edges,
+        "point_edges_mask": topo.point_edges_mask,
+        "wedge_prev": topo.wedge_prev,
+        "wedge_next": topo.wedge_next,
+        "cell_faces": topo.cell_faces,
+        "cell_faces_mask": topo.cell_faces_mask,
+        "is_internal_point": topo.is_internal_point,
+        "face_patch": topo.face_patch,
+        "face_is_real_boundary": face_is_real_boundary,
+    }
+    return {k: jnp.asarray(v) for k, v in host.items()}

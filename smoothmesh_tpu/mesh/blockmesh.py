@@ -1,0 +1,235 @@
+"""blockMesh-style structured hex mesh generation.
+
+The reference's testcases generate their input meshes with OpenFOAM's
+``blockMesh`` (reference testcase*/system/blockMeshDict, run via
+``run_serial`` scripts).  This module provides an equivalent standalone
+generator for single graded hex blocks, producing a
+:class:`~smoothmesh_tpu.io.polymesh.PolyMesh` with OpenFOAM face
+ordering (internal faces upper-triangular by owner then neighbour,
+boundary faces grouped by patch, outward owner normals).
+
+Supports simple grading (one expansion ratio per axis) and blockMesh
+multi-grading ``[(lengthFrac, cellFrac, expansion), ...]`` — enough to
+reproduce the graded cube of testcase8 (testcase8/system/blockMeshDict).
+Deliberately mesh distortion helpers (:func:`perturb`) create the
+low-quality inputs the smoother is tested against.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple, Union
+
+import numpy as np
+
+from smoothmesh_tpu.io.polymesh import Patch, PolyMesh
+
+GradingSpec = Union[float, Sequence[Tuple[float, float, float]]]
+
+
+def _segment_coords(n: int, expansion: float) -> np.ndarray:
+    """Normalized coordinates (0..1) of n+1 points with geometric grading.
+
+    ``expansion`` is the blockMesh convention: size(last cell)/size(first).
+    """
+    if n <= 0:
+        raise ValueError("segment needs at least one cell")
+    if n == 1 or abs(expansion - 1.0) < 1e-12:
+        return np.linspace(0.0, 1.0, n + 1)
+    k = expansion ** (1.0 / (n - 1))
+    sizes = k ** np.arange(n)
+    coords = np.concatenate([[0.0], np.cumsum(sizes)])
+    return coords / coords[-1]
+
+
+def _axis_coords(n: int, grading: GradingSpec) -> np.ndarray:
+    """Normalized axis coordinates (0..1), simple or multi-grading."""
+    if isinstance(grading, (int, float)):
+        return _segment_coords(n, float(grading))
+    segs = [s for s in grading if s[0] > 0 and s[1] > 0]  # drop spacer rows
+    if not segs:
+        return np.linspace(0.0, 1.0, n + 1)
+    lf = np.array([s[0] for s in segs], dtype=np.float64)
+    cf = np.array([s[1] for s in segs], dtype=np.float64)
+    lf = lf / lf.sum()
+    cf = cf / cf.sum()
+    # Integer cell counts per segment summing to n (each active segment
+    # keeps at least one cell)
+    counts = np.maximum(np.floor(cf * n + 0.5).astype(int), 1)
+    while counts.sum() > n:
+        cand = np.where(counts > 1)[0]
+        counts[cand[np.argmax(counts[cand])]] -= 1
+    while counts.sum() < n:
+        counts[int(np.argmax(cf - counts / n))] += 1
+    coords = [np.array([0.0])]
+    x0 = 0.0
+    for i, s in enumerate(segs):
+        seg = _segment_coords(counts[i], float(s[2]))
+        coords.append(x0 + lf[i] * seg[1:])
+        x0 += lf[i]
+    out = np.concatenate(coords)
+    out[-1] = 1.0
+    return out
+
+
+def hex_block(
+    p_min: Sequence[float] = (0.0, 0.0, 0.0),
+    p_max: Sequence[float] = (1.0, 1.0, 1.0),
+    n: Sequence[int] = (3, 3, 3),
+    grading: Sequence[GradingSpec] = (1.0, 1.0, 1.0),
+    patches: Union[str, Dict[str, Sequence[str]], None] = "walls",
+    scale: float = 1.0,
+) -> PolyMesh:
+    """Generate a single hex block mesh.
+
+    ``patches`` is either a single patch name covering all six sides
+    (like testcase8's ``default`` patch) or an ordered mapping
+    ``{name: [sides...]}`` with sides from
+    {xmin, xmax, ymin, ymax, zmin, zmax}.
+    """
+    nx, ny, nz = (int(v) for v in n)
+    xs = np.asarray(p_min[0] + (p_max[0] - p_min[0]) * _axis_coords(nx, grading[0]))
+    ys = np.asarray(p_min[1] + (p_max[1] - p_min[1]) * _axis_coords(ny, grading[1]))
+    zs = np.asarray(p_min[2] + (p_max[2] - p_min[2]) * _axis_coords(nz, grading[2]))
+
+    # Points: index p = i + (nx+1)*(j + (ny+1)*k)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    pts = np.stack(
+        [X.ravel(order="F"), Y.ravel(order="F"), Z.ravel(order="F")], axis=1
+    )
+    # order='F' on meshgrid(ij) ravels i fastest: p = i + (nx+1)*(j + (ny+1)*k)
+    pts = pts * scale
+
+    def P(i, j, k):
+        return i + (nx + 1) * (j + (ny + 1) * k)
+
+    def C(i, j, k):
+        return i + nx * (j + ny * k)
+
+    faces: List[Tuple[int, int, int, int]] = []
+    owner: List[int] = []
+    neighbour: List[int] = []
+
+    # Internal faces: for each cell in index order, upper neighbours in
+    # increasing cell-id order (+x, +y, +z) — OpenFOAM upper-triangular.
+    for k in range(nz):
+        for j in range(ny):
+            for i in range(nx):
+                c = C(i, j, k)
+                if i + 1 < nx:
+                    faces.append((P(i + 1, j, k), P(i + 1, j + 1, k),
+                                  P(i + 1, j + 1, k + 1), P(i + 1, j, k + 1)))
+                    owner.append(c)
+                    neighbour.append(C(i + 1, j, k))
+                if j + 1 < ny:
+                    faces.append((P(i, j + 1, k), P(i, j + 1, k + 1),
+                                  P(i + 1, j + 1, k + 1), P(i + 1, j + 1, k)))
+                    owner.append(c)
+                    neighbour.append(C(i, j + 1, k))
+                if k + 1 < nz:
+                    faces.append((P(i, j, k + 1), P(i + 1, j, k + 1),
+                                  P(i + 1, j + 1, k + 1), P(i, j + 1, k + 1)))
+                    owner.append(c)
+                    neighbour.append(C(i, j, k + 1))
+
+    n_internal = len(faces)
+
+    def side_faces(side: str):
+        out = []
+        if side == "xmin":
+            for k in range(nz):
+                for j in range(ny):
+                    out.append(((P(0, j, k), P(0, j, k + 1),
+                                 P(0, j + 1, k + 1), P(0, j + 1, k)),
+                                C(0, j, k)))
+        elif side == "xmax":
+            for k in range(nz):
+                for j in range(ny):
+                    out.append(((P(nx, j, k), P(nx, j + 1, k),
+                                 P(nx, j + 1, k + 1), P(nx, j, k + 1)),
+                                C(nx - 1, j, k)))
+        elif side == "ymin":
+            for k in range(nz):
+                for i in range(nx):
+                    out.append(((P(i, 0, k), P(i + 1, 0, k),
+                                 P(i + 1, 0, k + 1), P(i, 0, k + 1)),
+                                C(i, 0, k)))
+        elif side == "ymax":
+            for k in range(nz):
+                for i in range(nx):
+                    out.append(((P(i, ny, k), P(i, ny, k + 1),
+                                 P(i + 1, ny, k + 1), P(i + 1, ny, k)),
+                                C(i, ny - 1, k)))
+        elif side == "zmin":
+            for j in range(ny):
+                for i in range(nx):
+                    out.append(((P(i, j, 0), P(i, j + 1, 0),
+                                 P(i + 1, j + 1, 0), P(i + 1, j, 0)),
+                                C(i, j, 0)))
+        elif side == "zmax":
+            for j in range(ny):
+                for i in range(nx):
+                    out.append(((P(i, j, nz), P(i + 1, j, nz),
+                                 P(i + 1, j + 1, nz), P(i, j + 1, nz)),
+                                C(i, j, nz - 1)))
+        else:
+            raise ValueError(f"unknown side {side}")
+        return out
+
+    all_sides = ["xmin", "xmax", "ymin", "ymax", "zmin", "zmax"]
+    if patches is None or isinstance(patches, str):
+        name = patches or "walls"
+        patch_map: Dict[str, Sequence[str]] = {name: all_sides}
+    else:
+        patch_map = dict(patches)
+        covered = [s for sides in patch_map.values() for s in sides]
+        if sorted(covered) != sorted(all_sides):
+            raise ValueError("patches must cover all six sides exactly once")
+
+    patch_list: List[Patch] = []
+    for name, sides in patch_map.items():
+        start = len(faces)
+        for side in sides:
+            for quad, own in side_faces(side):
+                faces.append(quad)
+                owner.append(own)
+        patch_list.append(Patch(name=name, type="wall",
+                                n_faces=len(faces) - start, start_face=start))
+
+    face_flat = np.array(faces, dtype=np.int64).reshape(-1)
+    face_offsets = np.arange(len(faces) + 1, dtype=np.int64) * 4
+    mesh = PolyMesh(
+        points=pts,
+        face_flat=face_flat,
+        face_offsets=face_offsets,
+        owner=np.array(owner, dtype=np.int64),
+        neighbour=np.array(neighbour[:n_internal], dtype=np.int64),
+        patches=patch_list,
+    )
+    mesh.validate()
+    return mesh
+
+
+def perturb(mesh: PolyMesh, amplitude: float, seed: int = 0,
+            boundary: bool = False) -> PolyMesh:
+    """Randomly displace mesh points to create a low-quality input.
+
+    Internal points only by default (boundary stays fixed so the
+    smoother's boundary handling is unaffected).  Displacement is
+    uniform in [-amplitude, amplitude] per component.
+    """
+    from smoothmesh_tpu.mesh.topology import boundary_point_mask
+
+    rng = np.random.default_rng(seed)
+    disp = rng.uniform(-amplitude, amplitude, size=mesh.points.shape)
+    if not boundary:
+        mask = ~boundary_point_mask(mesh)
+        disp = disp * mask[:, None]
+    out = PolyMesh(
+        points=mesh.points + disp,
+        face_flat=mesh.face_flat,
+        face_offsets=mesh.face_offsets,
+        owner=mesh.owner,
+        neighbour=mesh.neighbour,
+        patches=mesh.patches,
+    )
+    return out

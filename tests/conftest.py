@@ -1,0 +1,20 @@
+"""Test configuration: run on CPU with 8 virtual devices and float64.
+
+Mirrors the reference's testing model (SURVEY.md §4): distributed
+behaviour is exercised with local virtual devices standing in for a
+real multi-chip mesh, just as the reference uses `mpirun -np 3` on one
+machine to stand in for a cluster.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)

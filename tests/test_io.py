@@ -1,0 +1,60 @@
+"""polyMesh / OBJ I/O round-trip tests."""
+
+import numpy as np
+
+from smoothmesh_tpu.io.polymesh import read_polymesh, write_polymesh
+from smoothmesh_tpu.io.obj import read_obj_edges, read_obj_surface
+from smoothmesh_tpu.mesh.blockmesh import hex_block
+
+
+def test_polymesh_roundtrip(tmp_path):
+    mesh = hex_block(n=(3, 2, 2), grading=(2.0, 1.0, 1.0),
+                     patches={"walls": ["xmin", "xmax", "ymin", "ymax"],
+                              "top": ["zmax"], "bot": ["zmin"]})
+    d = str(tmp_path / "polyMesh")
+    write_polymesh(d, mesh)
+    back = read_polymesh(d)
+    assert back.n_points == mesh.n_points
+    assert back.n_cells == mesh.n_cells
+    assert np.allclose(back.points, mesh.points)
+    assert np.array_equal(back.face_flat, mesh.face_flat)
+    assert np.array_equal(back.owner, mesh.owner)
+    assert np.array_equal(back.neighbour, mesh.neighbour)
+    assert [p.name for p in back.patches] == ["walls", "top", "bot"]
+    assert [p.n_faces for p in back.patches] == [p.n_faces for p in mesh.patches]
+
+
+def test_obj_surface_reader(tmp_path):
+    p = tmp_path / "surf.obj"
+    p.write_text(
+        "# comment\no thing\n"
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "f 1//1 2//1 3//1 4//1\n"
+    )
+    v, t = read_obj_surface(str(p))
+    assert v.shape == (4, 3)
+    # quad fan-triangulated into 2 triangles
+    assert t.shape == (2, 3)
+    assert t.tolist() == [[0, 1, 2], [0, 2, 3]]
+
+
+def test_obj_edges_reader(tmp_path):
+    p = tmp_path / "edges.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 2 0 0\nl 1 2\nl 2 3\n")
+    v, e = read_obj_edges(str(p))
+    assert v.shape == (3, 3)
+    assert e.tolist() == [[0, 1], [1, 2]]
+
+
+def test_reference_fixture_objs_parse():
+    """The reference testcase OBJ files must load (no instructions followed,
+    data only)."""
+    import os
+
+    base = "/root/reference/testcase4/constant/geometry"
+    if not os.path.isdir(base):
+        return
+    v, t = read_obj_surface(os.path.join(base, "targetSurfaces.obj"))
+    assert len(v) > 100 and len(t) > 300  # 318 quads -> 636 tris
+    v2, e = read_obj_edges(os.path.join(base, "initEdges.obj"))
+    assert len(e) == 80
