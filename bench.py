@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark harness: point-updates/sec/chip on the BASELINE workload.
+
+Runs the full default-constraint smoothing iteration (centroidal +
+aspect-ratio + step limit + edge-shortening + edge-angle + face-angle
+freezes, geometry recomputed per step — the reference's hot path,
+SURVEY.md §3.2) on a synthetic graded hex mesh on one chip and reports
+ONE JSON line:
+
+  {"metric": "point_updates_per_sec_per_chip", "value": N,
+   "unit": "points/s", "vs_baseline": R}
+
+vs_baseline compares against the BASELINE.json north-star anchor: the
+reference smoothMesh on a 16-core CPU measured ~1.1e5 point-updates/s
+on comparable meshes (no published numbers exist — BASELINE.md; this
+anchor is our measured-order-of-magnitude stand-in until the reference
+can be run on identical hardware; >=50x is the target).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Benchmark always targets the real device (TPU under axon); fall back
+# to whatever JAX gives us.
+N_SIDE = int(os.environ.get("SMOOTHMESH_BENCH_N", "96"))
+ITERS = int(os.environ.get("SMOOTHMESH_BENCH_ITERS", "10"))
+REFERENCE_CPU_POINTS_PER_SEC = 1.1e5
+
+
+def main() -> int:
+    import jax
+
+    # Persistent compile cache: the axon remote compiler takes minutes
+    # per kernel; caching makes reruns start in seconds.
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.jax_cache"))
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from smoothmesh_tpu.driver import Smoother
+    from smoothmesh_tpu.mesh.blockmesh import hex_block, perturb
+    from smoothmesh_tpu.params import SmoothingParams
+
+    t0 = time.time()
+    base = hex_block(n=(N_SIDE, N_SIDE, N_SIDE), grading=(2.0, 1.0, 0.5))
+    # Distort by a fraction of the smallest cell size: a realistic
+    # low-quality input (the un-normalized 0.2/N amplitude used before
+    # produced a near-degenerate mesh at large N)
+    min_spacing = min(np.diff(np.unique(base.points[:, a])).min()
+                      for a in range(3))
+    mesh = perturb(base, amplitude=0.25 * min_spacing, seed=3)
+    n_points = mesh.n_points
+    gen_t = time.time() - t0
+
+    t0 = time.time()
+    params = SmoothingParams(centroidal_iters=ITERS, rel_tol=0.0)
+    sm = Smoother(mesh, params, dtype=np.float32)
+    compile_t = time.time() - t0
+
+    # Warmup (compile)
+    t0 = time.time()
+    sm.step()
+    warm_t = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        r = sm.step()
+    jax.block_until_ready(sm.points)
+    run_t = time.time() - t0
+
+    updates_per_sec = n_points * ITERS / run_t
+    result = {
+        "metric": "point_updates_per_sec_per_chip",
+        "value": round(updates_per_sec, 1),
+        "unit": "points/s",
+        "vs_baseline": round(updates_per_sec / REFERENCE_CPU_POINTS_PER_SEC,
+                             2),
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps({
+            "detail": {
+                "n_points": n_points,
+                "n_cells": mesh.n_cells,
+                "iters": ITERS,
+                "mesh_gen_s": round(gen_t, 2),
+                "topo_compile_s": round(compile_t, 2),
+                "jit_warmup_s": round(warm_t, 2),
+                "run_s": round(run_t, 3),
+                "per_iter_ms": round(1e3 * run_t / ITERS, 2),
+                "final_residual": r.residual,
+                "device": str(jax.devices()[0]),
+            }
+        }),
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

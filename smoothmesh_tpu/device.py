@@ -56,5 +56,10 @@ def to_device(topo: MeshTopology) -> Dict[str, jnp.ndarray]:
         "is_internal_point": topo.is_internal_point,
         "face_patch": topo.face_patch,
         "face_is_real_boundary": face_is_real_boundary,
+        # Row-validity masks: all True for a plain mesh; padded rows in
+        # sharded stacked topologies are False (see parallel.partition)
+        "point_valid": np.ones(topo.n_points, dtype=bool),
+        "edge_valid": np.ones(topo.n_edges, dtype=bool),
+        "cell_valid": np.ones(topo.n_cells, dtype=bool),
     }
     return {k: jnp.asarray(v) for k, v in host.items()}

@@ -1,0 +1,402 @@
+"""The smoothing driver: jitted iteration step + convergence loop.
+
+Reimplements the reference's main iteration (src/smoothMesh.C:2257-2437)
+as a single jit-compiled step over the padded device topology:
+
+  reset freeze -> centroidal -> aspect-ratio blend -> step limit ->
+  [layer blend -> step limit] -> [boundary projection -> step limit] ->
+  edge-shortening / edge-angle / face-angle freezes -> revert frozen &
+  non-smoothed boundary points -> residual
+
+Geometry (cell centres) is recomputed from the live points at the start
+of each step, matching ``mesh.movePoints`` semantics (reference :2399).
+
+TPU notes: coordinates are internally normalized (centered, scaled so
+the minimum edge length is ~1) so float32 stays accurate for meshes at
+extreme absolute scales (e.g. testcase8's convertToMeters 1e-8); all
+length-valued parameters are scaled along.  The Python loop around the
+jitted step reads back one scalar per iteration (the residual), exactly
+the information the reference prints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smoothmesh_tpu import geometry as geo
+from smoothmesh_tpu import quality
+from smoothmesh_tpu.device import to_device
+from smoothmesh_tpu.io.polymesh import PolyMesh
+from smoothmesh_tpu.mesh.topology import MeshTopology, compile_topology
+from smoothmesh_tpu.ops import (
+    aspect_ratio_smoothing,
+    calculate_residual,
+    centroidal_smoothing,
+    constrain_max_step_length,
+    restrict_edge_shortening,
+    restrict_face_angle_deterioration,
+    restrict_min_edge_angle_decrease,
+)
+from smoothmesh_tpu.params import SmoothingParams
+
+
+@dataclasses.dataclass
+class StepResult:
+    iteration: int
+    residual: float
+    n_frozen: int
+
+
+def iteration_body(points, smoothing_surface, normals_state, td,
+                   params: SmoothingParams, scale: float, do_boundary: bool,
+                   layer=None, bnd=None, sync=None, chunk=None):
+    """One smoothing iteration (reference src/smoothMesh.C:2257-2437),
+    pure function shared by the single-chip and sharded drivers.
+
+    ``sync`` is None for single-chip, or a PointSync inside shard_map.
+    ``layer`` is None or the device dict of LayerMaps arrays (enables
+    the orthogonal boundary-layer treatment, reference :2283-2305).
+    Length-valued parameters are pre-scaled by the driver's internal
+    coordinate normalization factor ``scale``.
+    """
+    from smoothmesh_tpu import layers as lay
+
+    p = params
+    min_edge = p.min_edge_length * scale
+    max_step = p.max_step_length * scale
+
+    frozen = jnp.zeros(points.shape[0], dtype=bool)
+
+    is_sharp = jnp.zeros(points.shape[0], dtype=bool)
+    if layer is not None or bnd is not None:
+        # Recalculate (accumulate) boundary point normals each
+        # iteration (reference :2266)
+        normals_state, is_sharp = lay.accumulate_point_normals(
+            points, td, normals_state, sync=sync)
+
+    cell_ctrs = geo.cell_centres(points, td)
+    cent = centroidal_smoothing(points, cell_ctrs, td, do_boundary,
+                                sync=sync)
+    prop = aspect_ratio_smoothing(points, cent, td, sync=sync)
+    if sync is not None:
+        # Pin shared points to the owning shard's proposal (see
+        # PointSync.consensus for why this deviation is safe)
+        prop = sync.consensus(prop)
+    prop = constrain_max_step_length(points, prop, max_step,
+                                     p.rel_step_frac)
+
+    if layer is not None:
+        big = jnp.asarray(1e18, points.dtype)
+        outer_coords = lay.update_neigh_coords(
+            points, layer["outer_map"], layer["outer_map"] >= 0, big,
+            sync=sync)
+        prop = lay.blend_with_orthogonal_points(
+            points, prop, td, layer["hops_layer"], normals_state,
+            outer_coords, p.layer_max_blending_fraction,
+            p.layer_edge_length * scale, p.layer_expansion_ratio,
+            p.min_layers, p.max_layers + 1)
+        prop = constrain_max_step_length(points, prop, max_step,
+                                         p.rel_step_frac)
+
+    if bnd is not None:
+        # Boundary point smoothing (reference :2307-2356)
+        from smoothmesh_tpu import boundary as bps
+
+        big = jnp.asarray(1e18, points.dtype)
+        inner_coords = lay.update_neigh_coords(
+            points, bnd["inner_map"], bnd["inner_map"] >= 0, big,
+            sync=sync)
+        prop, frozen = bps.project_boundary_points(
+            points, prop, normals_state, frozen, bnd, td, is_sharp,
+            sync=sync, chunk=chunk)
+        prop = lay.project_prismatic_boundary_points(
+            prop, td, bnd, normals_state, inner_coords,
+            bnd["is_feature_edge"], bnd["is_corner"], is_sharp,
+            p.internal_smoothing_blending_fraction)
+        prop = constrain_max_step_length(points, prop, max_step,
+                                         p.rel_step_frac)
+
+    frozen = restrict_edge_shortening(
+        points, prop, td, min_edge, p.total_min_freeze, frozen)
+    if p.edge_angle_constraint:
+        frozen = restrict_min_edge_angle_decrease(
+            points, prop, td, p.min_angle_rad, frozen)
+    if p.face_angle_constraint:
+        frozen = restrict_face_angle_deterioration(
+            points, cell_ctrs, prop, td, p.min_angle_rad,
+            p.max_angle_rad, frozen, chunk=chunk)
+
+    if sync is not None:
+        frozen = sync.or_(frozen)
+
+    revert = frozen | (~td["is_internal_point"] & ~smoothing_surface)
+    new_points = jnp.where(revert[:, None], points, prop)
+    n_frozen = jnp.sum(revert & td["point_valid"])
+    res = calculate_residual(points, new_points, max_step, sync=sync)
+    if sync is not None:
+        n_frozen = sync.all_sum(n_frozen)
+    return new_points, normals_state, res, n_frozen
+
+
+def default_face_angle_chunk(topo) -> Optional[int]:
+    """Pick a face-angle evaluation chunk bounding peak HBM use.
+
+    The pair evaluation materializes ~WP*WE*WF*(WFP+1)*3 floats per
+    point; cap the batch at ~2^27 floats (~0.5-1 GB) and round to a
+    power of two so recompiles don't proliferate.
+    """
+    wp = topo.point_points.shape[1]
+    we = topo.point_edges.shape[1]
+    wf = topo.edge_faces.shape[1]
+    wfp = topo.face_points.shape[1]
+    # Nominal floats per point; XLA materializes ~8 copies of the
+    # largest intermediate (substituted face-point gathers), so budget
+    # conservatively (measured: ~18 GB for 36k points unchunked => the
+    # true footprint is ~0.5 MB/point on this hex topology).
+    per_point = max(wp * we * wf * wfp * 3, 1)
+    budget = 1 << 23  # 8M nominal floats per batch (~0.25-0.5 GB real)
+    if topo.n_points * per_point <= budget:
+        return None
+    chunk = max(budget // per_point, 256)
+    return 1 << (chunk.bit_length() - 1)
+
+
+class Smoother:
+    """Single-chip smoothing engine for one mesh.
+
+    Parameters
+    ----------
+    mesh: the polyMesh to smooth (topology fixed, points move).
+    params: smoothing options; derived defaults are resolved here from
+        the initial mesh stats (reference src/smoothMesh.C:1854-1921).
+    dtype: coordinate dtype on device (default float32 on TPU; tests
+        use float64 on CPU via jax_enable_x64).
+    normalize: internally rescale coordinates for dtype robustness.
+    """
+
+    def __init__(self, mesh: PolyMesh, params: SmoothingParams,
+                 dtype=None, normalize: bool = True,
+                 topo: Optional[MeshTopology] = None,
+                 n_devices=1):
+        if n_devices not in (1, None):
+            # Multi-chip sharding arrives with smoothmesh_tpu.parallel;
+            # single-chip covers all current callers.
+            import warnings
+
+            warnings.warn("multi-device smoothing not wired yet; "
+                          "running single-chip")
+        self.mesh = mesh
+        self.topo = topo if topo is not None else compile_topology(mesh)
+        self.td = to_device(self.topo)
+        self.stats = quality.mesh_stats(mesh.points, self.topo.edges)
+        self.params = params.resolve(self.stats.min_edge_length)
+
+        if dtype is None:
+            dtype = jnp.zeros(0).dtype  # respects jax_enable_x64
+        self.dtype = jnp.dtype(dtype)
+
+        if normalize:
+            self._center = mesh.points.mean(axis=0)
+            self._scale = 1.0 / max(self.stats.min_edge_length, 1e-300)
+        else:
+            self._center = np.zeros(3)
+            self._scale = 1.0
+
+        self.points = jnp.asarray(
+            (mesh.points - self._center) * self._scale, dtype=self.dtype
+        )
+        # boundary points that are allowed to move (boundary smoothing);
+        # none until the boundary pipeline is enabled
+        self.smoothing_surface = jnp.zeros(self.topo.n_points, dtype=bool)
+        self.do_boundary_smoothing = False
+
+        # Boundary-layer treatment setup (reference src/smoothMesh.C:
+        # 2024-2033, 2215-2230): enabled when layerPatches match and the
+        # blending fraction is positive
+        self.layer = None
+        self.bnd = None
+        self.layer_maps = None
+        self.normals = jnp.zeros_like(self.points)
+        layer_ids = self.topo.patch_ids_matching(self.params.layer_patches)
+        self._layer_ids = layer_ids
+        if len(layer_ids) and self.params.layer_max_blending_fraction > 1e-15:
+            self._setup_maps()
+            maps = self.layer_maps
+            self.layer = {
+                "hops_layer": jnp.asarray(maps.hops_layer, dtype=jnp.int32),
+                "outer_map": jnp.asarray(maps.outer_map, dtype=jnp.int32),
+            }
+
+        self.face_angle_chunk = default_face_angle_chunk(self.topo)
+        self._step = jax.jit(self._build_step())
+        self._iteration = 0
+
+    def _setup_maps(self) -> None:
+        """Hop counts + prismatic maps + propagated normals (reference
+        src/smoothMesh.C:2215-2230), shared by layer treatment and
+        boundary smoothing."""
+        from smoothmesh_tpu import layers as lay
+
+        if self.layer_maps is not None:
+            return
+        bn, sharp, _ = geo.boundary_point_normals(self.points, self.td)
+        smoothing_ids = self.topo.patch_ids_matching(
+            self.params.smoothing_patches)
+        self.layer_maps = lay.build_layer_maps(
+            self.topo, np.asarray(bn, dtype=np.float64),
+            np.asarray(sharp), self._layer_ids,
+            smoothing_ids, self.params.max_layers)
+        self.normals = jnp.asarray(self.layer_maps.normals_init,
+                                   dtype=self.dtype)
+
+    def transform(self, pts: np.ndarray) -> np.ndarray:
+        """External coordinates -> internal normalized coordinates."""
+        return (np.asarray(pts, dtype=np.float64) - self._center) * \
+            self._scale
+
+    def enable_boundary_smoothing(
+        self, surf_vertices, surf_tris,
+        init_edge_points, init_edges,
+        target_edge_points=None, target_edges=None,
+        checkpoint_corner=None, checkpoint_feature=None,
+    ) -> "np.ndarray":
+        """Enable boundary point smoothing (reference
+        src/smoothMesh.C:2079-2212): classify boundary points against
+        the OBJ edge meshes, build the target-surface triangle soup,
+        resolve edge strings, and allow smoothing-surface points to
+        move.  Returns the classification for checkpointing.
+        """
+        from smoothmesh_tpu import boundary as bps
+
+        if target_edge_points is None:
+            target_edge_points, target_edges = init_edge_points, init_edges
+
+        bps.check_edge_mesh_sanity(init_edge_points, init_edges,
+                                   self.stats.min_edge_length,
+                                   self.stats.perimeter)
+        bps.check_edge_mesh_sanity(target_edge_points, target_edges,
+                                   self.stats.min_edge_length,
+                                   self.stats.perimeter)
+
+        self._setup_maps()
+        smoothing_ids = self.topo.patch_ids_matching(
+            self.params.smoothing_patches)
+        setup = bps.classify_boundary_points(
+            self.topo, init_edge_points, init_edges,
+            target_edge_points, target_edges,
+            surf_vertices, surf_tris,
+            self._layer_ids, smoothing_ids,
+            self.mesh.points, self.params.distance_tolerance,
+            checkpoint_corner=checkpoint_corner,
+            checkpoint_feature=checkpoint_feature,
+        )
+        self.boundary_setup = setup
+        t = self.transform
+        s = self._scale
+        maps = self.layer_maps
+        self.bnd = {
+            "is_corner": jnp.asarray(setup.is_corner),
+            "is_feature_edge": jnp.asarray(setup.is_feature_edge),
+            "is_smoothing_surface": jnp.asarray(setup.is_smoothing_surface),
+            "is_connected": jnp.asarray(setup.is_connected),
+            "smoothing_surface": jnp.asarray(setup.is_smoothing_surface),
+            "corner_targets": jnp.asarray(t(setup.corner_targets),
+                                          dtype=self.dtype),
+            "point_strings": jnp.asarray(setup.point_strings,
+                                         dtype=jnp.int32),
+            "feat_neigh": jnp.asarray(setup.feat_neigh, dtype=jnp.int32),
+            "feat_neigh_mask": jnp.asarray(setup.feat_neigh_mask),
+            "edge_a": jnp.asarray(
+                t(setup.target_edge_points[setup.target_edges[:, 0]]),
+                dtype=self.dtype),
+            "edge_b": jnp.asarray(
+                t(setup.target_edge_points[setup.target_edges[:, 1]]),
+                dtype=self.dtype),
+            "edge_strings": jnp.asarray(setup.target_edge_strings,
+                                        dtype=jnp.int32),
+            "tri_a": jnp.asarray(t(setup.surf_tri_a), dtype=self.dtype),
+            "tri_b": jnp.asarray(t(setup.surf_tri_b), dtype=self.dtype),
+            "tri_c": jnp.asarray(t(setup.surf_tri_c), dtype=self.dtype),
+            "distance_tolerance": float(setup.distance_tolerance * s),
+            "inner_map": jnp.asarray(maps.inner_map, dtype=jnp.int32),
+        }
+        self.smoothing_surface = jnp.asarray(setup.is_smoothing_surface)
+        self.do_boundary_smoothing = True
+        self._step = jax.jit(self._build_step())
+        return setup
+
+    # -- coordinate transforms ---------------------------------------------
+    def denormalize(self, pts=None) -> np.ndarray:
+        q = np.asarray(self.points if pts is None else pts, dtype=np.float64)
+        return q / self._scale + self._center
+
+    # -- the jitted iteration ----------------------------------------------
+    def _build_step(self):
+        p = self.params
+        s = self._scale
+        td = self.td
+        do_boundary = self.do_boundary_smoothing  # static: gates tracing
+
+        chunk = self.face_angle_chunk
+        layer = self.layer
+        bnd = self.bnd
+
+        def step(points, smoothing_surface, normals):
+            return iteration_body(points, smoothing_surface, normals, td,
+                                  p, s, do_boundary, layer=layer, bnd=bnd,
+                                  chunk=chunk)
+
+        return step
+
+    def step(self) -> StepResult:
+        self._iteration += 1
+        new_points, normals, res, n_frozen = self._step(
+            self.points, self.smoothing_surface, self.normals)
+        self.points = new_points
+        self.normals = normals
+        return StepResult(self._iteration, float(res), int(n_frozen))
+
+    def run(self, log: Optional[Callable[[str], None]] = print,
+            on_write: Optional[Callable[[int, np.ndarray], None]] = None
+            ) -> StepResult:
+        """The full iteration loop with convergence + periodic writes
+        (reference src/smoothMesh.C:2257-2437)."""
+        p = self.params
+        t0 = time.time()
+        result = StepResult(0, float("inf"), 0)
+        for i in range(p.centroidal_iters):
+            result = self.step()
+            if log:
+                log(f"Smoothing iteration={result.iteration} "
+                    f"nFrozenPoints={result.n_frozen} "
+                    f"residual={result.residual:.6g}")
+            stop = result.residual < p.rel_tol
+            if stop and log:
+                log("Residual reached relTol, stopping.")
+            if i == p.centroidal_iters - 1 and log:
+                log("Maximum centroidalIters reached, stopping.")
+            if on_write and (stop or i == p.centroidal_iters - 1
+                             or (i + 1) % p.write_interval == 0 and i > 0):
+                on_write(result.iteration, self.denormalize())
+            if stop:
+                break
+        if log:
+            log(f"ClockTime = {time.time() - t0:.1f} s.")
+        return result
+
+    # -- reporting -----------------------------------------------------------
+    def quality(self) -> dict:
+        rep = quality.quality_report(self.points, self.td)
+        # undo normalization on length/volume-valued metrics
+        s = self._scale
+        for k in ("min_edge_length", "max_edge_length"):
+            rep[k] /= s
+        for k in ("min_volume", "max_volume", "total_volume"):
+            rep[k] /= s ** 3
+        return rep

@@ -1,0 +1,426 @@
+"""Quality-constraint freeze kernels (the reference's L5 layer).
+
+  - ``restrict_edge_shortening``          (reference src/smoothMesh.C:602-652)
+  - ``restrict_min_edge_angle_decrease``  (reference src/smoothMesh.C:766-930)
+  - ``restrict_face_angle_deterioration`` (reference src/smoothMesh.C:938-1437)
+
+Each returns an updated boolean freeze mask; frozen points revert to
+their current coordinates at the end of the iteration (reference
+src/smoothMesh.C:2384-2392).
+
+TPU-native design notes:
+  - The reference's face-angle constraint propagates freezes through a
+    sequential work-stack (src/smoothMesh.C:1347-1434).  Freezing is
+    monotone ("freeze if the move deteriorates angles"), so the stack
+    computes a closure that is order-independent; here it is computed as
+    a parallel fixed point: evaluate all (point, moved-neighbour) pairs
+    at once, OR the new freezes, repeat until no change
+    (``lax.while_loop``).  See SURVEY.md hard part #1.
+  - ``findCellFacePair``'s per-evaluation linear search becomes the
+    precompiled ``edge_cell_f0/f1`` slot tables.
+  - All angle evaluations use the reference's exact clamped-acos with
+    MAX = 0.99999 so freeze decisions agree bit-for-bit near thresholds.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+VSMALL = 1e-30
+ACOS_CLAMP = 0.99999
+TWO_PI = 2.0 * math.pi
+
+
+def restrict_edge_shortening(points, proposed, td, min_edge_length,
+                             total_min_freeze, frozen):
+    """Freeze points whose shortest edge would shrink below threshold."""
+    pp = td["point_points"]
+    mask = td["point_points_mask"]
+    neigh = points[pp]                                   # (N, W, 3)
+    cur_len = jnp.linalg.norm(neigh - points[:, None, :], axis=-1)
+    new_len = jnp.linalg.norm(neigh - proposed[:, None, :], axis=-1)
+    big = jnp.asarray(jnp.inf, points.dtype)
+    cur_min = jnp.min(jnp.where(mask, cur_len, big), axis=1)
+    new_min = jnp.min(jnp.where(mask, new_len, big), axis=1)
+
+    if total_min_freeze:
+        fr = jnp.minimum(cur_min, new_min) < min_edge_length
+    else:
+        fr = (new_min < min_edge_length) & (new_min < cur_min)
+    return frozen | fr
+
+
+def _edge_edge_angle(c, p1, p2):
+    """Angle at c between rays to p1 and p2 (reference edgeEdgeAngle,
+    src/smoothMesh.C:766-786): normalized dot, clamped acos."""
+    v1 = p1 - c
+    v2 = p2 - c
+    v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), VSMALL)
+    v2 = v2 / jnp.maximum(jnp.linalg.norm(v2, axis=-1, keepdims=True), VSMALL)
+    cos_a = jnp.sum(v1 * v2, axis=-1)
+    return jnp.arccos(jnp.clip(cos_a, -ACOS_CLAMP, ACOS_CLAMP))
+
+
+def restrict_min_edge_angle_decrease(points, proposed, td, min_angle_rad,
+                                     frozen):
+    """Freeze points whose minimum edge-edge wedge angle would decrease
+    below ``min_angle`` (reference calc_min_edge_angles +
+    restrictMinEdgeAngleDecrease, src/smoothMesh.C:837-930).
+
+    Per (point, face) wedge the minimum over five evaluations: current,
+    and the four moved/unmoved endpoint combinations.
+    """
+    mask = td["point_faces_mask"]                     # (N, W)
+    prev = td["wedge_prev"]
+    nxt = td["wedge_next"]
+
+    cp0 = points[:, None, :]
+    cp1 = points[prev]
+    cp2 = points[nxt]
+    np0 = proposed[:, None, :]
+    np1 = proposed[prev]
+    np2 = proposed[nxt]
+
+    c_angle = _edge_edge_angle(cp0, cp1, cp2)
+    n_angle = jnp.minimum(
+        jnp.minimum(_edge_edge_angle(np0, cp1, cp2),
+                    _edge_edge_angle(np0, np1, np2)),
+        jnp.minimum(_edge_edge_angle(np0, cp1, np2),
+                    _edge_edge_angle(np0, np1, cp2)),
+    )
+    big = jnp.asarray(jnp.inf, points.dtype)
+    min_c = jnp.min(jnp.where(mask, c_angle, big), axis=1)
+    min_n = jnp.min(jnp.where(mask, n_angle, big), axis=1)
+
+    fr = (min_n < min_angle_rad) & (min_n < min_c)
+    return frozen | fr
+
+
+# ---------------------------------------------------------------------------
+# Face-angle constraint
+# ---------------------------------------------------------------------------
+
+def _subst(ids, coords, s1, c1, s2, c2):
+    """coords[...] with point s1 at c1 and s2 at c2 (ids broadcastable).
+
+    ``s1``/``s2`` are per-batch substituted point ids (-1 disables);
+    ``c1``/``c2`` their coordinates.  Shapes: ids (..., K), coords
+    (..., K, 3), s* (...,), c* (..., 3).
+    """
+    m1 = (ids == s1[..., None]) & (s1[..., None] >= 0)
+    m2 = (ids == s2[..., None]) & (s2[..., None] >= 0)
+    out = jnp.where(m1[..., None], c1[..., None, :], coords)
+    out = jnp.where(m2[..., None], c2[..., None, :], out)
+    return out
+
+
+def _acos_c(x):
+    return jnp.arccos(jnp.clip(x, -ACOS_CLAMP, ACOS_CLAMP))
+
+
+def simple_face_centres(points, td):
+    """Per-face vertex means (reference calcFaceCenter
+    src/smoothMesh.C:1103-1130 without substitutions) — the linear base
+    that per-evaluation substitutions correct incrementally."""
+    fp = td["face_points"]
+    m = td["face_mask"][..., None].astype(points.dtype)
+    n = td["face_npoints"].astype(points.dtype)[:, None]
+    return jnp.sum(points[fp] * m, axis=1) / jnp.maximum(n, 1.0)
+
+
+def face_angles_for_edges(points, cell_ctrs, td, edge_ids, s1, c1, s2, c2,
+                          fc_base=None):
+    """Min/max projected face-face angle per edge with substitutions.
+
+    Vectorized ``calcMinMaxFaceAngleForEdge`` (reference
+    src/smoothMesh.C:1135-1231): project adjacent face centres (simple
+    vertex mean, reference calcFaceCenter :1103-1130) and *current* cell
+    centres onto the edge-normal plane; per adjacent cell the angle is
+    the sum of the two face->cell-centre angles; reduce min/max over
+    cells.
+
+    TPU design note: substituted face centres are computed as
+    ``base + [point in face] * (new - old)/n`` corrections on the
+    precomputed vertex-mean centres (they are linear in the vertices),
+    avoiding the (B, WF, WP, 3) coordinate gathers that dominate the
+    naive formulation.  ``fc_base`` may be passed in to amortize the
+    base computation across evaluations of the same point field.
+
+    edge_ids: (B,), s1/s2: (B,) point ids (-1 = no substitution),
+    c1/c2: (B, 3).  Returns (min_angle (B,), max_angle (B,)).
+    """
+    dtype = points.dtype
+    edges = td["edges"][edge_ids]                       # (B, 2)
+    e_pts = points[edges]                               # (B, 2, 3)
+    e_pts = _subst(edges, e_pts, s1, c1, s2, c2)
+    e0, e1 = e_pts[:, 0], e_pts[:, 1]
+    c_ctr = 0.5 * (e0 + e1)
+    e_vec = e1 - e0
+    e_vec = e_vec / jnp.maximum(
+        jnp.linalg.norm(e_vec, axis=-1, keepdims=True), VSMALL)
+
+    if fc_base is None:
+        fc_base = simple_face_centres(points, td)
+
+    fids = td["edge_faces"][edge_ids]                   # (B, WF)
+    f_n = td["face_npoints"][fids].astype(dtype)        # (B, WF)
+    f_ctr = fc_base[fids]                               # (B, WF, 3)
+    f_pts_ids = td["face_points"][fids]                 # (B, WF, WP) ints
+    f_pmask = td["face_mask"][fids]
+    for sid, sc in ((s1, c1), (s2, c2)):
+        has = sid >= 0
+        inf = jnp.any(
+            (f_pts_ids == sid[:, None, None]) & f_pmask, axis=2
+        ) & has[:, None]                                # (B, WF)
+        delta = (sc - points[jnp.maximum(sid, 0)])      # (B, 3)
+        f_ctr = f_ctr + (
+            inf.astype(dtype) / jnp.maximum(f_n, 1.0)
+        )[..., None] * delta[:, None, :]
+
+    def project_unit(x):
+        # Project x onto the plane through c_ctr normal to e_vec, then
+        # return the unit vector from c_ctr (reference :1189-1195).
+        cf = c_ctr[:, None, :] - x
+        dot = jnp.sum(cf * e_vec[:, None, :], axis=-1, keepdims=True)
+        p = x + dot * e_vec[:, None, :]
+        d = p - c_ctr[:, None, :]
+        return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True),
+                               VSMALL)
+
+    p_vecs = project_unit(f_ctr)                        # (B, WF, 3)
+
+    cids = td["edge_cells"][edge_ids]                   # (B, WC)
+    c_mask = td["edge_cells_mask"][edge_ids]
+    cell_c = cell_ctrs[cids]                            # (B, WC, 3)
+    c_vecs = project_unit(cell_c)                       # (B, WC, 3)
+
+    f0 = td["edge_cell_f0"][edge_ids]                   # (B, WC) slots
+    f1 = td["edge_cell_f1"][edge_ids]
+    p0 = jnp.take_along_axis(p_vecs, f0[..., None], axis=1)
+    p1 = jnp.take_along_axis(p_vecs, f1[..., None], axis=1)
+    ang = _acos_c(jnp.sum(p0 * c_vecs, axis=-1)) + _acos_c(
+        jnp.sum(c_vecs * p1, axis=-1))                  # (B, WC)
+
+    min_a = jnp.min(jnp.where(c_mask, ang, TWO_PI), axis=1)
+    max_a = jnp.max(jnp.where(c_mask, ang, 0.0), axis=1)
+    return min_a, max_a
+
+
+def _point_minmax_with_subst(points, cell_ctrs, td, s1_coords, s2_ids,
+                             s2_coords, chunk=None, fc_base=None):
+    """Min/max face angle over each point's edges, moving the point to
+    ``s1_coords`` and optionally its neighbour ``s2_ids`` to
+    ``s2_coords`` (vectorized calcMinMaxFaceAngleForPoint,
+    reference src/smoothMesh.C:1276-1308).
+
+    s1_coords: (N, 3); s2_ids: (N,) (-1 = none); s2_coords: (N, 3).
+    Returns (min (N,), max (N,)).
+    """
+    N = points.shape[0]
+
+    def eval_points(idx):
+        pe = td["point_edges"][idx]                     # (B, WE)
+        pe_mask = td["point_edges_mask"][idx]
+        B, WE = pe.shape
+        rep = lambda a: jnp.repeat(a, WE, axis=0)
+        min_e, max_e = face_angles_for_edges(
+            points, cell_ctrs, td, pe.reshape(-1),
+            rep(idx.astype(pe.dtype)), rep(s1_coords[idx]),
+            rep(s2_ids[idx]), rep(s2_coords[idx]), fc_base=fc_base,
+        )
+        min_e = min_e.reshape(B, WE)
+        max_e = max_e.reshape(B, WE)
+        min_p = jnp.min(jnp.where(pe_mask, min_e, TWO_PI), axis=1)
+        max_p = jnp.max(jnp.where(pe_mask, max_e, 0.0), axis=1)
+        return min_p, max_p
+
+    return _map_chunks(eval_points, N, chunk)
+
+
+def _map_chunks(fn, n, chunk):
+    """Evaluate fn(idx) over clipped index chunks of 0..n-1 and stitch.
+
+    Bounds peak memory of the face-angle evaluations: fn sees ``chunk``
+    indices at a time (tail indices are clipped duplicates of n-1, whose
+    outputs are sliced away).  chunk=None runs one full batch.
+    """
+    if chunk is None or chunk >= n:
+        return fn(jnp.arange(n))
+    nc = -(-n // chunk)
+
+    def body(c):
+        idx = jnp.clip(c * chunk + jnp.arange(chunk), 0, n - 1)
+        return fn(idx)
+
+    outs = jax.lax.map(body, jnp.arange(nc))
+    return jax.tree.map(
+        lambda o: o.reshape((nc * chunk,) + o.shape[2:])[:n], outs)
+
+
+def current_face_angles_per_point(points, cell_ctrs, td, chunk=None,
+                                  fc_base=None):
+    """Per-point current min/max face angles (reference
+    calcCurrentMinMaxFaceAnglesForEdges + mapCurrentMinMaxFaceAnglesToPoints,
+    src/smoothMesh.C:938-975, :1252-1270)."""
+    E = td["edges"].shape[0]
+
+    base = simple_face_centres(points, td) if fc_base is None else fc_base
+
+    def eval_edges(eidx):
+        no_id = jnp.full(eidx.shape, -1, dtype=td["edges"].dtype)
+        zero = jnp.zeros(eidx.shape + (3,), dtype=points.dtype)
+        return face_angles_for_edges(points, cell_ctrs, td,
+                                     eidx.astype(td["edges"].dtype),
+                                     no_id, zero, no_id, zero,
+                                     fc_base=base)
+
+    min_e, max_e = _map_chunks(eval_edges, E, chunk)
+    # Padded edge rows (sharded stacked topologies) must not poison the
+    # per-point scatter
+    valid = td["edge_valid"]
+    min_e = jnp.where(valid, min_e, TWO_PI)
+    max_e = jnp.where(valid, max_e, 0.0)
+    N = points.shape[0]
+    e0 = td["edges"][:, 0]
+    e1 = td["edges"][:, 1]
+    min_p = jnp.full((N,), TWO_PI, dtype=points.dtype)
+    max_p = jnp.zeros((N,), dtype=points.dtype)
+    min_p = min_p.at[e0].min(min_e).at[e1].min(min_e)
+    max_p = max_p.at[e0].max(max_e).at[e1].max(max_e)
+    return min_p, max_p
+
+
+def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
+                                      min_angle_rad, max_angle_rad, frozen,
+                                      chunk=None):
+    """Freeze points (and neighbours) whose moves deteriorate face-face
+    angles already outside [min_angle, max_angle].
+
+    Parallel fixed point of the reference's stack propagation
+    (src/smoothMesh.C:1320-1437): per sweep, every point p evaluates the
+    effect of each moving neighbour q on p's angles (with p at its
+    current effective position) and freezes offending neighbours; sweeps
+    repeat until the freeze mask stops changing.
+    """
+    dtype = points.dtype
+    fc_base = simple_face_centres(points, td)
+    cur_min_p, cur_max_p = current_face_angles_per_point(
+        points, cell_ctrs, td, chunk=chunk, fc_base=fc_base)
+    # Points already in good range never freeze anyone (reference :1367)
+    active = (cur_min_p <= min_angle_rad) | (cur_max_p >= max_angle_rad)
+
+    moving = jnp.any(proposed != points, axis=-1)
+
+    def deteriorates(new_min, new_max):
+        return (
+            ((new_min < min_angle_rad) & (new_min < cur_min_p))
+            | ((new_max > max_angle_rad) & (new_max > cur_max_p))
+        )
+
+    # Full evaluations happen only for "active" points (the reference
+    # skips in-range points up-front :1367-1369); the active set is
+    # compacted with nonzero and processed in fixed-size chunks inside a
+    # while_loop, so the cost is proportional to how many points are
+    # actually near the angle thresholds — the common converged-mesh
+    # case costs just the per-edge pass above.
+    N = points.shape[0]
+    any_active = jnp.any(active)
+    K = min(chunk if chunk else 4096, N)
+    pp = td["point_points"]                              # (N, WP)
+    pp_mask = td["point_points_mask"]
+    WP = pp.shape[1]
+
+    act_idx = jnp.nonzero(active, size=N, fill_value=0)[0]
+    n_active = jnp.sum(active)
+
+    def minmax_for(idx, s1_coords_rows, s2_ids_rows, s2_coords_rows):
+        """Min/max over the edges of points ``idx`` with substitutions
+        given per row."""
+        pe = td["point_edges"][idx]                      # (K, WE)
+        pe_mask = td["point_edges_mask"][idx]
+        Krows, WE = pe.shape
+        min_e, max_e = face_angles_for_edges(
+            points, cell_ctrs, td, pe.reshape(-1),
+            jnp.repeat(idx.astype(pp.dtype), WE),
+            jnp.repeat(s1_coords_rows, WE, axis=0),
+            jnp.repeat(s2_ids_rows, WE),
+            jnp.repeat(s2_coords_rows, WE, axis=0),
+            fc_base=fc_base,
+        )
+        min_e = min_e.reshape(Krows, WE)
+        max_e = max_e.reshape(Krows, WE)
+        mn = jnp.min(jnp.where(pe_mask, min_e, TWO_PI), axis=1)
+        mx = jnp.max(jnp.where(pe_mask, max_e, 0.0), axis=1)
+        return mn, mx
+
+    def chunked_over_active(body_fn, init):
+        """while c*K < n_active: body_fn(idx_chunk, row_valid, carry)."""
+        def cond(s):
+            c, _ = s
+            return c * K < n_active
+
+        def body(s):
+            c, carry = s
+            start = c * K
+            idx = jax.lax.dynamic_slice(act_idx, (start,), (K,))
+            rowv = (start + jnp.arange(K)) < n_active
+            return c + 1, body_fn(idx, rowv, carry)
+
+        _, out = jax.lax.while_loop(cond, body, (jnp.asarray(0), init))
+        return out
+
+    # --- self test: p moves alone (reference :1379-1400) ---
+    def self_chunk(idx, rowv, frozen):
+        no_id = jnp.full(idx.shape, -1, dtype=td["edges"].dtype)
+        mn, mx = minmax_for(idx, proposed[idx], no_id,
+                            jnp.zeros((idx.shape[0], 3), dtype=dtype))
+        det = (
+            ((mn < min_angle_rad) & (mn < cur_min_p[idx]))
+            | ((mx > max_angle_rad) & (mx > cur_max_p[idx]))
+        )
+        det &= rowv & moving[idx] & ~frozen[idx]
+        tgt = jnp.where(det, idx, N)
+        return frozen.at[tgt].set(True, mode="drop")
+
+    # --- neighbour fixed point (reference :1402-1433) ---
+    def pair_chunk(idx, rowv, state):
+        frozen_cur, changed = state
+        eff_idx = jnp.where(frozen_cur[idx, None], points[idx],
+                            proposed[idx])               # (K, 3)
+        b_pp = pp[idx]                                   # (K, WP)
+        flat_q = b_pp.reshape(-1)
+        rep_idx = jnp.repeat(idx, WP)
+        rep_eff = jnp.repeat(eff_idx, WP, axis=0)
+        mn, mx = minmax_for(rep_idx, rep_eff, flat_q, proposed[flat_q])
+        mn = mn.reshape(-1, WP)
+        mx = mx.reshape(-1, WP)
+        bad = (
+            ((mn < min_angle_rad) & (mn < cur_min_p[idx][:, None]))
+            | ((mx > max_angle_rad) & (mx > cur_max_p[idx][:, None]))
+        )
+        q_moving = moving[b_pp] & ~frozen_cur[b_pp]
+        bad &= pp_mask[idx] & rowv[:, None] & q_moving
+        tgt = jnp.where(bad, b_pp, N)
+        new_frozen = frozen_cur.at[tgt.reshape(-1)].set(True, mode="drop")
+        changed = changed | jnp.any(bad)
+        return new_frozen, changed
+
+    def sweep_body(state):
+        frozen_cur, _ = state
+        return chunked_over_active(pair_chunk, (frozen_cur,
+                                                jnp.asarray(False)))
+
+    def sweep_cond(state):
+        _, changed = state
+        return changed
+
+    def run_all(frozen):
+        frozen = chunked_over_active(self_chunk, frozen)
+        frozen, _ = jax.lax.while_loop(
+            sweep_cond, sweep_body, (frozen, jnp.asarray(True)))
+        return frozen
+
+    return jax.lax.cond(any_active, run_all, lambda f: f, frozen)

@@ -1,0 +1,285 @@
+"""Mesh partitioner + shard compiler for multi-chip SPMD smoothing.
+
+The reference relies on OpenFOAM's offline ``decomposePar`` (scotch) to
+split the mesh into per-rank partitions with processor patches
+(testcase*/system/decomposeParDict, run_parallel scripts).  Here the
+equivalent is done in-process:
+
+  1. :func:`partition_cells` — recursive coordinate bisection of cell
+     centroids into ``n_shards`` balanced cell sets.
+  2. :func:`build_shards` — per shard, extract a local PolyMesh whose
+     inter-shard faces become a ``procBoundary`` patch of type
+     ``processor`` (so the local topology compiler treats them exactly
+     like OpenFOAM processor patches), compile each local topology, pad
+     all shards to common static shapes, and build the shared-point
+     routing tables used by :class:`~smoothmesh_tpu.parallel.sync.PointSync`.
+
+Semantics preserved from the reference's parallel model:
+  - each cell lives on exactly one shard; kernels compute shard-local
+    partial results; points shared between shards are combined with the
+    (op, null-value) pairs of syncTools::syncPointList (SURVEY.md §5).
+  - ``is_internal_point`` is computed *globally* and shipped to shards,
+    avoiding the corner case where a global-boundary point has no local
+    boundary face on some shard.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List
+
+import numpy as np
+
+from smoothmesh_tpu.device import to_device
+from smoothmesh_tpu.io.polymesh import Patch, PolyMesh
+from smoothmesh_tpu.mesh.topology import (
+    MeshTopology,
+    boundary_point_mask,
+    compile_topology,
+)
+
+
+def cell_centroids_rough(mesh: PolyMesh) -> np.ndarray:
+    """Cheap cell centroids (mean of face-point means) for partitioning."""
+    flat = mesh.face_flat
+    offs = mesh.face_offsets
+    counts = np.diff(offs)
+    face_of = np.repeat(np.arange(mesh.n_faces), counts)
+    fsum = np.zeros((mesh.n_faces, 3))
+    np.add.at(fsum, face_of, mesh.points[flat])
+    fmean = fsum / counts[:, None]
+
+    C = mesh.n_cells
+    acc = np.zeros((C, 3))
+    n = np.zeros(C)
+    np.add.at(acc, mesh.owner, fmean)
+    np.add.at(n, mesh.owner, 1)
+    ni = mesh.neighbour
+    np.add.at(acc, ni, fmean[: len(ni)])
+    np.add.at(n, ni, 1)
+    return acc / n[:, None]
+
+
+def partition_cells(mesh: PolyMesh, n_shards: int) -> np.ndarray:
+    """Recursive coordinate bisection -> (C,) shard ids, balanced."""
+    ctr = cell_centroids_rough(mesh)
+    C = mesh.n_cells
+    shard = np.zeros(C, dtype=np.int64)
+
+    def split(idx: np.ndarray, base: int, k: int) -> None:
+        if k <= 1:
+            shard[idx] = base
+            return
+        k1 = k // 2
+        axis = int(np.argmax(ctr[idx].max(0) - ctr[idx].min(0)))
+        order = np.argsort(ctr[idx, axis], kind="stable")
+        n1 = (len(idx) * k1) // k
+        left = idx[order[:n1]]
+        right = idx[order[n1:]]
+        split(left, base, k1)
+        split(right, base + k1, k - k1)
+
+    split(np.arange(C), 0, n_shards)
+    return shard
+
+
+@dataclasses.dataclass
+class ShardedMesh:
+    n_shards: int
+    topos: List[MeshTopology]           # per-shard local topology
+    stacked: Dict[str, np.ndarray]      # (D, ...) padded device topo arrays
+    local_points: np.ndarray            # (D, Npad, 3) initial coordinates
+    n_local_points: np.ndarray          # (D,)
+    local_to_global: List[np.ndarray]   # per shard: local -> global point id
+    # Shared-point routing: S slots; per shard the local index of that
+    # slot's point, or Npad (out of bounds -> dropped in scatter)
+    shared_slot_local: np.ndarray       # (D, S)
+    shared_valid: np.ndarray            # (D, S) bool
+    shared_owner_is_me: np.ndarray      # (D, S) bool — this shard owns slot
+    point_owner_shard: np.ndarray       # (Nglobal,) owning shard
+    point_owner_local: np.ndarray       # (Nglobal,) local idx on owner
+
+    @property
+    def n_padded_points(self) -> int:
+        return self.local_points.shape[1]
+
+    def gather_global_points(self, local_points) -> np.ndarray:
+        """Assemble the global point field from per-shard blocks."""
+        lp = np.asarray(local_points)
+        return lp[self.point_owner_shard, self.point_owner_local]
+
+
+def _pad_to(arr: np.ndarray, shape) -> np.ndarray:
+    pads = [(0, s - a) for s, a in zip(shape, arr.shape)]
+    return np.pad(arr, pads, mode="constant")
+
+
+def build_shards(mesh: PolyMesh, n_shards: int,
+                 cell_shard: np.ndarray = None) -> ShardedMesh:
+    if cell_shard is None:
+        cell_shard = partition_cells(mesh, n_shards)
+
+    global_internal = ~boundary_point_mask(mesh)
+    F = mesh.n_faces
+    Fi = mesh.n_internal_faces
+    owner = mesh.owner
+    neighbour = mesh.neighbour
+    flat = mesh.face_flat
+    offs = mesh.face_offsets
+
+    face_patch = np.full(F, -1, dtype=np.int64)
+    for pid, p in enumerate(mesh.patches):
+        face_patch[p.start_face: p.start_face + p.n_faces] = pid
+
+    topos: List[MeshTopology] = []
+    l2g: List[np.ndarray] = []
+    local_points: List[np.ndarray] = []
+    internal_masks: List[np.ndarray] = []
+
+    for d in range(n_shards):
+        own_in = cell_shard[owner] == d
+        nei_in = np.zeros(F, dtype=bool)
+        nei_in[:Fi] = cell_shard[neighbour] == d
+        touch = own_in | nei_in
+        face_ids = np.where(touch)[0]
+
+        # Classify local faces
+        is_internal_local = own_in[face_ids] & nei_in[face_ids]
+        is_proc = (face_ids < Fi) & ~is_internal_local
+        # Original boundary faces keep their patch; processor faces new
+        order = np.argsort(
+            np.where(is_internal_local, 0,
+                     np.where(is_proc, 2 + face_patch[face_ids] * 0 + 1000,
+                              1 + face_patch[face_ids])),
+            kind="stable",
+        )
+        face_ids = face_ids[order]
+        is_internal_local = is_internal_local[order]
+        is_proc = is_proc[order]
+
+        # Local points
+        sel_entries = np.concatenate(
+            [flat[offs[f]: offs[f + 1]] for f in face_ids]
+        ) if len(face_ids) else np.zeros(0, dtype=np.int64)
+        gids = np.unique(sel_entries)
+        l2g.append(gids)
+        g2l = np.full(mesh.n_points, -1, dtype=np.int64)
+        g2l[gids] = np.arange(len(gids))
+
+        # Local cells
+        cell_ids = np.where(cell_shard == d)[0]
+        c2l = np.full(mesh.n_cells, -1, dtype=np.int64)
+        c2l[cell_ids] = np.arange(len(cell_ids))
+
+        # Build local face list; flip faces owned by off-shard cells so
+        # the local owner is always on-shard (normal outward)
+        new_flat = []
+        new_offsets = [0]
+        new_owner = []
+        new_neighbour = []
+        for k, f in enumerate(face_ids):
+            pts = flat[offs[f]: offs[f + 1]]
+            o, n = owner[f], (neighbour[f] if f < Fi else -1)
+            if cell_shard[o] != d:
+                # neighbour must be local; flip orientation
+                pts = pts[::-1]
+                o, n = n, o
+            if is_internal_local[k]:
+                new_neighbour.append(c2l[n])
+            new_owner.append(c2l[o])
+            new_flat.extend(g2l[pts])
+            new_offsets.append(new_offsets[-1] + len(pts))
+
+        # Patches: original real patches (in order), then procBoundary
+        patches = []
+        fp = face_patch[face_ids]
+        n_int_local = int(is_internal_local.sum())
+        pos = n_int_local
+        for pid, p in enumerate(mesh.patches):
+            cnt = int(((fp == pid) & ~is_internal_local & ~is_proc).sum())
+            patches.append(Patch(name=p.name, type=p.type, n_faces=cnt,
+                                 start_face=pos))
+            pos += cnt
+        n_proc = int(is_proc.sum())
+        patches.append(Patch(name="procBoundary", type="processor",
+                             n_faces=n_proc, start_face=pos))
+
+        lmesh = PolyMesh(
+            points=mesh.points[gids],
+            face_flat=np.array(new_flat, dtype=np.int64),
+            face_offsets=np.array(new_offsets, dtype=np.int64),
+            owner=np.array(new_owner, dtype=np.int64),
+            neighbour=np.array(new_neighbour, dtype=np.int64),
+            patches=patches,
+        )
+        lmesh.validate()
+        topo = compile_topology(lmesh)
+        # Global consistency: internal status comes from the global mesh
+        topo.is_internal_point = global_internal[gids]
+        topos.append(topo)
+        local_points.append(mesh.points[gids])
+        internal_masks.append(global_internal[gids])
+
+    # ---- shared points & routing ----
+    count = np.zeros(mesh.n_points, dtype=np.int64)
+    for gids in l2g:
+        count[gids] += 1
+    shared_gids = np.where(count > 1)[0]
+    S = len(shared_gids)
+
+    # ---- pad to common shapes and stack ----
+    devs = [to_device(t) for t in topos]
+    # to_device returns jnp arrays; go through numpy for stacking
+    devs = [{k: np.asarray(v) for k, v in d.items()} for d in devs]
+    keys = devs[0].keys()
+    stacked = {}
+    for k in keys:
+        shapes = np.array([d[k].shape for d in devs])
+        tgt = tuple(shapes.max(axis=0))
+        stacked[k] = np.stack([_pad_to(d[k], tgt) for d in devs])
+    # face_npoints padding of 0 would divide by zero guards; bump to 1
+    fn = stacked["face_npoints"]
+    stacked["face_npoints"] = np.maximum(fn, 1)
+
+    Npad = stacked["is_internal_point"].shape[1]
+    pts = np.stack([
+        _pad_to(p, (Npad, 3)) for p in local_points
+    ])
+
+    slot_local = np.full((n_shards, S), Npad, dtype=np.int64)
+    valid = np.zeros((n_shards, S), dtype=bool)
+    for d, gids in enumerate(l2g):
+        g2l = np.full(mesh.n_points, -1, dtype=np.int64)
+        g2l[gids] = np.arange(len(gids))
+        li = g2l[shared_gids]
+        has = li >= 0
+        slot_local[d, has] = li[has]
+        valid[d] = has
+
+    owner_shard = np.full(mesh.n_points, -1, dtype=np.int64)
+    owner_local = np.full(mesh.n_points, -1, dtype=np.int64)
+    for d in reversed(range(n_shards)):
+        gids = l2g[d]
+        owner_shard[gids] = d
+        owner_local[gids] = np.arange(len(gids))
+    if np.any(owner_shard < 0):
+        raise ValueError("unassigned global points after sharding")
+
+    owner_is_me = (
+        owner_shard[shared_gids][None, :]
+        == np.arange(n_shards)[:, None]
+    )
+
+    return ShardedMesh(
+        n_shards=n_shards,
+        topos=topos,
+        stacked=stacked,
+        local_points=pts,
+        n_local_points=np.array([len(g) for g in l2g], dtype=np.int64),
+        local_to_global=l2g,
+        shared_slot_local=slot_local,
+        shared_valid=valid,
+        shared_owner_is_me=owner_is_me,
+        point_owner_shard=owner_shard,
+        point_owner_local=owner_local,
+    )

@@ -1,0 +1,118 @@
+"""Mesh-quality metrics — the framework's checkMesh equivalent.
+
+The reference validates results with OpenFOAM's external ``checkMesh``
+(reference run_tests.sh:31,36); this module provides the equivalent
+oracle in-framework: non-orthogonality, skewness, face-face angles,
+edge lengths, cell volumes.  Used by tests as the pass/fail oracle and
+by the driver for reporting.  Also provides the reference's mesh stats
+(min/max edge length + bounding-box perimeter,
+src/smoothMesh.C:1478-1541) used for derived parameter defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from smoothmesh_tpu import geometry as geo
+from smoothmesh_tpu.ops.constraints import face_angles_for_edges
+
+VSMALL = 1e-30
+
+
+@dataclasses.dataclass
+class MeshStats:
+    min_edge_length: float
+    max_edge_length: float
+    perimeter: float   # sum of bounding-box side lengths (reference quirk:
+                       # z-term is max+min, matching src/smoothMesh.C:1538)
+
+
+def mesh_stats(points: np.ndarray, edges: np.ndarray) -> MeshStats:
+    p = np.asarray(points)
+    e = np.asarray(edges)
+    lengths = np.linalg.norm(p[e[:, 1]] - p[e[:, 0]], axis=1)
+    mins = p.min(axis=0)
+    maxs = p.max(axis=0)
+    perimeter = (maxs[0] - mins[0]) + (maxs[1] - mins[1]) + (maxs[2] + mins[2])
+    return MeshStats(float(lengths.min()), float(lengths.max()),
+                     float(perimeter))
+
+
+def quality_report(points, td) -> Dict[str, float]:
+    """Compute the full quality metric set on device, return floats."""
+    dtype = points.dtype
+    fg = geo.face_centres_areas(
+        points, td["face_points"], td["face_points_next"], td["face_mask"],
+        td["face_npoints"])
+    cell_ctrs, vols = geo.cell_centres_vols(
+        fg, td["owner"], td["cell_faces"], td["cell_faces_mask"])
+
+    # Non-orthogonality (internal faces): angle between face area vector
+    # and owner->neighbour centre vector
+    has_n = td["has_neighbour"]
+    own_c = cell_ctrs[td["owner"]]
+    nei_c = cell_ctrs[td["neighbour"]]
+    d = nei_c - own_c
+    dn = jnp.linalg.norm(d, axis=-1)
+    an = jnp.maximum(fg.mags, VSMALL)
+    cos_t = jnp.sum(fg.areas * d, axis=-1) / (an * jnp.maximum(dn, VSMALL))
+    cos_t = jnp.clip(cos_t, -1.0, 1.0)
+    nonortho = jnp.degrees(jnp.arccos(cos_t))
+    nonortho = jnp.where(has_n, nonortho, 0.0)
+    n_int = jnp.sum(has_n)
+
+    # Skewness (internal faces): offset of the face centre from the
+    # owner->neighbour line's intersection with the face plane, relative
+    # to the centre distance
+    nrm = fg.areas / an[:, None]
+    denom = jnp.sum(d * nrm, axis=-1)
+    lam = jnp.sum((fg.centres - own_c) * nrm, axis=-1) / jnp.where(
+        jnp.abs(denom) > VSMALL, denom, 1.0)
+    intersect = own_c + lam[:, None] * d
+    skew = jnp.linalg.norm(fg.centres - intersect, axis=-1) / jnp.maximum(
+        dn, VSMALL)
+    skew = jnp.where(has_n & (jnp.abs(denom) > VSMALL), skew, 0.0)
+
+    # Face-face angles over all edges (no substitution)
+    E = td["edges"].shape[0]
+    no_id = jnp.full((E,), -1, dtype=td["edges"].dtype)
+    zeros = jnp.zeros((E, 3), dtype=dtype)
+    emin, emax = face_angles_for_edges(
+        points, cell_ctrs, td, jnp.arange(E, dtype=td["edges"].dtype),
+        no_id, zeros, no_id, zeros)
+
+    # Edge lengths
+    ep = points[td["edges"]]
+    elen = jnp.linalg.norm(ep[:, 1] - ep[:, 0], axis=-1)
+
+    return {
+        "min_face_angle_deg": float(jnp.degrees(jnp.min(emin))),
+        "max_face_angle_deg": float(jnp.degrees(jnp.max(emax))),
+        "max_non_ortho_deg": float(jnp.max(nonortho)),
+        "avg_non_ortho_deg": float(jnp.sum(nonortho) / jnp.maximum(n_int, 1)),
+        "max_skewness": float(jnp.max(skew)),
+        "min_edge_length": float(jnp.min(elen)),
+        "max_edge_length": float(jnp.max(elen)),
+        "min_volume": float(jnp.min(vols)),
+        "max_volume": float(jnp.max(vols)),
+        "total_volume": float(jnp.sum(vols)),
+        "n_negative_volumes": int(jnp.sum(vols <= 0)),
+    }
+
+
+def check_mesh(points, td, max_non_ortho: float = 70.0,
+               max_skew: float = 4.0) -> Dict[str, object]:
+    """checkMesh-style pass/fail verdict with the standard OpenFOAM
+    thresholds (non-orthogonality 70 deg, skewness 4)."""
+    rep = quality_report(points, td)
+    ok = (
+        rep["n_negative_volumes"] == 0
+        and rep["max_non_ortho_deg"] < max_non_ortho
+        and rep["max_skewness"] < max_skew
+    )
+    return {"ok": bool(ok), **rep}
