@@ -1,0 +1,167 @@
+// Native mesh-compiler kernels for smoothmesh_tpu (host side).
+//
+// The reference builds its connectivity through OpenFOAM's lazy
+// primitiveMesh machinery (SURVEY.md L0/L2); our Python compiler
+// (smoothmesh_tpu/mesh/topology.py) is numpy-vectorized but still pays
+// O(M log M) sorts for edge dedup and grouping at 10M-cell scale.
+// These C kernels do the hot builds in O(M) with open-addressing
+// hashing, exposed via ctypes (no pybind11 in this image).
+//
+// Build: see native/build.sh (cc -O3 -shared -fPIC).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Hash-based edge extraction from face perimeters.
+//
+// Inputs:
+//   flat[M]      face point labels (concatenated perimeters)
+//   offsets[F+1] face start offsets into flat
+//   n_points     number of mesh points
+// Outputs (caller-allocated):
+//   edge_of_pair[M]  edge id for each perimeter entry (edge from
+//                    flat[k] to the cyclic next point in its face)
+//   edges_out[2*M]   unique edge endpoints (lo, hi); only the first
+//                    2*n_edges entries are meaningful
+// Returns: number of unique edges (<= M), or -1 on error.
+int64_t build_edges(const int64_t* flat, const int64_t* offsets,
+                    int64_t n_faces, int64_t n_points,
+                    int64_t* edge_of_pair, int64_t* edges_out) {
+    const int64_t m = offsets[n_faces];
+    // open addressing, power-of-two capacity >= 2*m
+    uint64_t cap = 1;
+    while (cap < (uint64_t)(2 * m + 4)) cap <<= 1;
+    const uint64_t mask = cap - 1;
+    std::vector<int64_t> slot_edge(cap, -1);
+    std::vector<uint64_t> slot_key(cap, ~0ull);
+
+    int64_t n_edges = 0;
+    for (int64_t f = 0; f < n_faces; ++f) {
+        const int64_t beg = offsets[f];
+        const int64_t end = offsets[f + 1];
+        const int64_t n = end - beg;
+        for (int64_t k = 0; k < n; ++k) {
+            int64_t a = flat[beg + k];
+            int64_t b = flat[beg + (k + 1 == n ? 0 : k + 1)];
+            if (a < 0 || b < 0 || a >= n_points || b >= n_points) return -1;
+            const int64_t lo = a < b ? a : b;
+            const int64_t hi = a < b ? b : a;
+            const uint64_t key = (uint64_t)lo * (uint64_t)n_points
+                + (uint64_t)hi;
+            // splitmix-style scramble
+            uint64_t h = key;
+            h ^= h >> 33; h *= 0xff51afd7ed558ccdULL;
+            h ^= h >> 33; h *= 0xc4ceb9fe1a85ec53ULL;
+            h ^= h >> 33;
+            uint64_t s = h & mask;
+            while (true) {
+                if (slot_edge[s] < 0) {
+                    slot_edge[s] = n_edges;
+                    slot_key[s] = key;
+                    edges_out[2 * n_edges] = lo;
+                    edges_out[2 * n_edges + 1] = hi;
+                    edge_of_pair[beg + k] = n_edges;
+                    ++n_edges;
+                    break;
+                }
+                if (slot_key[s] == key) {
+                    edge_of_pair[beg + k] = slot_edge[s];
+                    break;
+                }
+                s = (s + 1) & mask;
+            }
+        }
+    }
+    return n_edges;
+}
+
+// Grouped padding: given (key, value) pairs, compute group sizes.
+// counts must be zero-initialized with length n_rows.
+void group_counts(const int64_t* keys, int64_t m, int64_t* counts) {
+    for (int64_t i = 0; i < m; ++i) counts[keys[i]] += 1;
+}
+
+// Fill padded (n_rows x width) arrays from (key, value) pairs in
+// input order.  cursor must be zero-initialized (n_rows).  out must be
+// pre-filled with the pad value; mask with 0.
+void group_fill(const int64_t* keys, const int64_t* vals, int64_t m,
+                int64_t width, int64_t* cursor, int64_t* out,
+                uint8_t* mask) {
+    for (int64_t i = 0; i < m; ++i) {
+        const int64_t r = keys[i];
+        const int64_t c = cursor[r]++;
+        out[r * width + c] = vals[i];
+        mask[r * width + c] = 1;
+    }
+}
+
+// Deduplicating variant: skips (key, val) pairs already present in the
+// row (linear probe over the row — row widths are small degrees).
+void group_fill_dedup(const int64_t* keys, const int64_t* vals, int64_t m,
+                      int64_t width, int64_t* cursor, int64_t* out,
+                      uint8_t* mask) {
+    for (int64_t i = 0; i < m; ++i) {
+        const int64_t r = keys[i];
+        const int64_t v = vals[i];
+        const int64_t n = cursor[r];
+        bool dup = false;
+        for (int64_t c = 0; c < n; ++c) {
+            if (out[r * width + c] == v) { dup = true; break; }
+        }
+        if (dup) continue;
+        out[r * width + n] = v;
+        mask[r * width + n] = 1;
+        cursor[r] = n + 1;
+    }
+}
+
+// Parse an OpenFOAM ragged face list body "k(a b c) k(...)..." given a
+// whitespace/paren-normalized token array is unnecessary — this parses
+// the raw bytes directly.  Returns number of faces parsed or -1.
+int64_t parse_face_tokens(const char* text, int64_t len,
+                          int64_t expected_faces,
+                          int64_t* flat, int64_t* offsets) {
+    int64_t pos = 0, face = 0, nflat = 0;
+    offsets[0] = 0;
+    while (pos < len && face < expected_faces) {
+        // skip whitespace
+        while (pos < len && (text[pos] == ' ' || text[pos] == '\n'
+                             || text[pos] == '\r' || text[pos] == '\t'))
+            ++pos;
+        if (pos >= len) break;
+        // read count
+        int64_t cnt = 0;
+        bool got = false;
+        while (pos < len && text[pos] >= '0' && text[pos] <= '9') {
+            cnt = cnt * 10 + (text[pos] - '0');
+            got = true;
+            ++pos;
+        }
+        if (!got) return -1;
+        // expect '('
+        while (pos < len && text[pos] != '(') ++pos;
+        ++pos;
+        for (int64_t k = 0; k < cnt; ++k) {
+            while (pos < len && (text[pos] == ' ' || text[pos] == '\n'))
+                ++pos;
+            int64_t v = 0;
+            bool g2 = false;
+            while (pos < len && text[pos] >= '0' && text[pos] <= '9') {
+                v = v * 10 + (text[pos] - '0');
+                g2 = true;
+                ++pos;
+            }
+            if (!g2) return -1;
+            flat[nflat++] = v;
+        }
+        while (pos < len && text[pos] != ')') ++pos;
+        ++pos;
+        offsets[++face] = nflat;
+    }
+    return face;
+}
+
+}  // extern "C"

@@ -160,10 +160,10 @@ def default_face_angle_chunk(topo) -> Optional[int]:
     # conservatively (measured: ~18 GB for 36k points unchunked => the
     # true footprint is ~0.5 MB/point on this hex topology).
     per_point = max(wp * we * wf * wfp * 3, 1)
-    budget = 1 << 23  # 8M nominal floats per batch (~0.25-0.5 GB real)
+    budget = 1 << 25  # 32M nominal floats per active-point batch
     if topo.n_points * per_point <= budget:
         return None
-    chunk = max(budget // per_point, 256)
+    chunk = max(budget // per_point, 4096)
     return 1 << (chunk.bit_length() - 1)
 
 

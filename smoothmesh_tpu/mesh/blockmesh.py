@@ -105,75 +105,102 @@ def hex_block(
     def C(i, j, k):
         return i + nx * (j + ny * k)
 
-    faces: List[Tuple[int, int, int, int]] = []
-    owner: List[int] = []
-    neighbour: List[int] = []
+    # Internal faces, fully vectorized: for each cell in index order,
+    # upper neighbours in increasing cell-id order (+x, +y, +z) —
+    # OpenFOAM upper-triangular ordering.
+    I, J, K = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                          indexing="ij")
+    # cell-index order: i fastest -> sort by C = i + nx*(j + ny*k)
+    I = I.transpose(2, 1, 0).ravel()
+    J = J.transpose(2, 1, 0).ravel()
+    K = K.transpose(2, 1, 0).ravel()
 
-    # Internal faces: for each cell in index order, upper neighbours in
-    # increasing cell-id order (+x, +y, +z) — OpenFOAM upper-triangular.
-    for k in range(nz):
-        for j in range(ny):
-            for i in range(nx):
-                c = C(i, j, k)
-                if i + 1 < nx:
-                    faces.append((P(i + 1, j, k), P(i + 1, j + 1, k),
-                                  P(i + 1, j + 1, k + 1), P(i + 1, j, k + 1)))
-                    owner.append(c)
-                    neighbour.append(C(i + 1, j, k))
-                if j + 1 < ny:
-                    faces.append((P(i, j + 1, k), P(i, j + 1, k + 1),
-                                  P(i + 1, j + 1, k + 1), P(i + 1, j + 1, k)))
-                    owner.append(c)
-                    neighbour.append(C(i, j + 1, k))
-                if k + 1 < nz:
-                    faces.append((P(i, j, k + 1), P(i + 1, j, k + 1),
-                                  P(i + 1, j + 1, k + 1), P(i, j + 1, k + 1)))
-                    owner.append(c)
-                    neighbour.append(C(i, j, k + 1))
+    def quad_x(i, j, k):
+        return np.stack([P(i + 1, j, k), P(i + 1, j + 1, k),
+                         P(i + 1, j + 1, k + 1), P(i + 1, j, k + 1)], axis=1)
 
-    n_internal = len(faces)
+    def quad_y(i, j, k):
+        return np.stack([P(i, j + 1, k), P(i, j + 1, k + 1),
+                         P(i + 1, j + 1, k + 1), P(i + 1, j + 1, k)], axis=1)
+
+    def quad_z(i, j, k):
+        return np.stack([P(i, j, k + 1), P(i + 1, j, k + 1),
+                         P(i + 1, j + 1, k + 1), P(i, j + 1, k + 1)], axis=1)
+
+    has_x = I + 1 < nx
+    has_y = J + 1 < ny
+    has_z = K + 1 < nz
+    per_cell = has_x.astype(int) + has_y.astype(int) + has_z.astype(int)
+    n_internal = int(per_cell.sum())
+    int_faces = np.zeros((n_internal, 4), dtype=np.int64)
+    int_owner = np.zeros(n_internal, dtype=np.int64)
+    int_neigh = np.zeros(n_internal, dtype=np.int64)
+    # slot offsets: cells in order, +x before +y before +z
+    base = np.zeros(len(I), dtype=np.int64)
+    np.cumsum(per_cell[:-1], out=base[1:])
+    cids = C(I, J, K)
+    pos = base.copy()
+    for has, quad, nb in (
+        (has_x, quad_x, lambda i, j, k: C(i + 1, j, k)),
+        (has_y, quad_y, lambda i, j, k: C(i, j + 1, k)),
+        (has_z, quad_z, lambda i, j, k: C(i, j, k + 1)),
+    ):
+        sel = has
+        slots = pos[sel]
+        int_faces[slots] = quad(I[sel], J[sel], K[sel])
+        int_owner[slots] = cids[sel]
+        int_neigh[slots] = nb(I[sel], J[sel], K[sel])
+        pos = pos + sel.astype(np.int64)
+
+    face_blocks: List[np.ndarray] = [int_faces]
+    owner_blocks: List[np.ndarray] = [int_owner]
+    neighbour = int_neigh
+    n_faces_so_far = n_internal
 
     def side_faces(side: str):
-        out = []
-        if side == "xmin":
-            for k in range(nz):
-                for j in range(ny):
-                    out.append(((P(0, j, k), P(0, j, k + 1),
-                                 P(0, j + 1, k + 1), P(0, j + 1, k)),
-                                C(0, j, k)))
-        elif side == "xmax":
-            for k in range(nz):
-                for j in range(ny):
-                    out.append(((P(nx, j, k), P(nx, j + 1, k),
-                                 P(nx, j + 1, k + 1), P(nx, j, k + 1)),
-                                C(nx - 1, j, k)))
-        elif side == "ymin":
-            for k in range(nz):
-                for i in range(nx):
-                    out.append(((P(i, 0, k), P(i + 1, 0, k),
-                                 P(i + 1, 0, k + 1), P(i, 0, k + 1)),
-                                C(i, 0, k)))
-        elif side == "ymax":
-            for k in range(nz):
-                for i in range(nx):
-                    out.append(((P(i, ny, k), P(i, ny, k + 1),
-                                 P(i + 1, ny, k + 1), P(i + 1, ny, k)),
-                                C(i, ny - 1, k)))
-        elif side == "zmin":
-            for j in range(ny):
-                for i in range(nx):
-                    out.append(((P(i, j, 0), P(i, j + 1, 0),
-                                 P(i + 1, j + 1, 0), P(i + 1, j, 0)),
-                                C(i, j, 0)))
-        elif side == "zmax":
-            for j in range(ny):
-                for i in range(nx):
-                    out.append(((P(i, j, nz), P(i + 1, j, nz),
-                                 P(i + 1, j + 1, nz), P(i, j + 1, nz)),
-                                C(i, j, nz - 1)))
+        """Vectorized boundary quads + owner cells for one block side."""
+        if side in ("xmin", "xmax"):
+            j, k = np.meshgrid(np.arange(ny), np.arange(nz), indexing="ij")
+            j = j.ravel(order="F")
+            k = k.ravel(order="F")
+            if side == "xmin":
+                quads = np.stack([P(0, j, k), P(0, j, k + 1),
+                                  P(0, j + 1, k + 1), P(0, j + 1, k)], axis=1)
+                own = C(0, j, k)
+            else:
+                quads = np.stack([P(nx, j, k), P(nx, j + 1, k),
+                                  P(nx, j + 1, k + 1), P(nx, j, k + 1)],
+                                 axis=1)
+                own = C(nx - 1, j, k)
+        elif side in ("ymin", "ymax"):
+            i, k = np.meshgrid(np.arange(nx), np.arange(nz), indexing="ij")
+            i = i.ravel(order="F")
+            k = k.ravel(order="F")
+            if side == "ymin":
+                quads = np.stack([P(i, 0, k), P(i + 1, 0, k),
+                                  P(i + 1, 0, k + 1), P(i, 0, k + 1)], axis=1)
+                own = C(i, 0, k)
+            else:
+                quads = np.stack([P(i, ny, k), P(i, ny, k + 1),
+                                  P(i + 1, ny, k + 1), P(i + 1, ny, k)],
+                                 axis=1)
+                own = C(i, ny - 1, k)
+        elif side in ("zmin", "zmax"):
+            i, j = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+            i = i.ravel(order="F")
+            j = j.ravel(order="F")
+            if side == "zmin":
+                quads = np.stack([P(i, j, 0), P(i, j + 1, 0),
+                                  P(i + 1, j + 1, 0), P(i + 1, j, 0)], axis=1)
+                own = C(i, j, 0)
+            else:
+                quads = np.stack([P(i, j, nz), P(i + 1, j, nz),
+                                  P(i + 1, j + 1, nz), P(i, j + 1, nz)],
+                                 axis=1)
+                own = C(i, j, nz - 1)
         else:
             raise ValueError(f"unknown side {side}")
-        return out
+        return quads, own
 
     all_sides = ["xmin", "xmax", "ymin", "ymax", "zmin", "zmax"]
     if patches is None or isinstance(patches, str):
@@ -187,22 +214,25 @@ def hex_block(
 
     patch_list: List[Patch] = []
     for name, sides in patch_map.items():
-        start = len(faces)
+        start = n_faces_so_far
         for side in sides:
-            for quad, own in side_faces(side):
-                faces.append(quad)
-                owner.append(own)
+            quads, own = side_faces(side)
+            face_blocks.append(quads)
+            owner_blocks.append(own)
+            n_faces_so_far += len(quads)
         patch_list.append(Patch(name=name, type="wall",
-                                n_faces=len(faces) - start, start_face=start))
+                                n_faces=n_faces_so_far - start,
+                                start_face=start))
 
-    face_flat = np.array(faces, dtype=np.int64).reshape(-1)
-    face_offsets = np.arange(len(faces) + 1, dtype=np.int64) * 4
+    all_faces = np.concatenate(face_blocks, axis=0)
+    face_flat = all_faces.reshape(-1).astype(np.int64)
+    face_offsets = np.arange(len(all_faces) + 1, dtype=np.int64) * 4
     mesh = PolyMesh(
         points=pts,
         face_flat=face_flat,
         face_offsets=face_offsets,
-        owner=np.array(owner, dtype=np.int64),
-        neighbour=np.array(neighbour[:n_internal], dtype=np.int64),
+        owner=np.concatenate(owner_blocks).astype(np.int64),
+        neighbour=neighbour.astype(np.int64),
         patches=patch_list,
     )
     mesh.validate()

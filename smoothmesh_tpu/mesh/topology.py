@@ -171,8 +171,16 @@ class MeshTopology:
         return np.array(sorted(set(out)), dtype=np.int64)
 
 
-def compile_topology(mesh: PolyMesh) -> MeshTopology:
-    """Build all padded adjacency arrays from a PolyMesh."""
+def compile_topology(mesh: PolyMesh, use_native: bool = True) -> MeshTopology:
+    """Build all padded adjacency arrays from a PolyMesh.
+
+    ``use_native`` engages the C++ O(M) hash/grouping kernels
+    (smoothmesh_tpu.native) for the heavy builds when the shared
+    library is available; the numpy fallback is always correct but pays
+    O(M log M) sorts.  The two paths may order entries within adjacency
+    rows differently (sorted vs first-appearance), which only affects
+    floating-point summation order and degenerate tie-breaks.
+    """
     N = mesh.n_points
     F = mesh.n_faces
     Fi = mesh.n_internal_faces
@@ -202,19 +210,37 @@ def compile_topology(mesh: PolyMesh) -> MeshTopology:
     has_neighbour = neighbour_full >= 0
 
     # Edges: undirected unique pairs from face perimeters
-    pair_a = flat
-    pair_b = flat[offs[face_of_entry] + nxt_slot]
-    lo = np.minimum(pair_a, pair_b)
-    hi = np.maximum(pair_a, pair_b)
-    pair_key = lo * N + hi
-    uniq_keys, edge_of_pair = np.unique(pair_key, return_inverse=True)
-    E = len(uniq_keys)
-    edges = np.stack([uniq_keys // N, uniq_keys % N], axis=1)
+    native_mod = None
+    if use_native:
+        try:
+            from smoothmesh_tpu import native as native_mod
 
-    # edge_faces: dedupe (edge, face) — an edge appears once per face
-    # perimeter, so pairs are already unique per face
-    ef_mask, edge_faces = pad_groups(edge_of_pair, E, face_of_entry,
-                                     dedupe_key=face_of_entry)
+            if not native_mod.available():
+                native_mod = None
+        except ImportError:
+            native_mod = None
+
+    if native_mod is not None:
+        edges, edge_of_pair = native_mod.build_edges(flat, offs, N)
+        E = len(edges)
+    else:
+        pair_a = flat
+        pair_b = flat[offs[face_of_entry] + nxt_slot]
+        lo = np.minimum(pair_a, pair_b)
+        hi = np.maximum(pair_a, pair_b)
+        pair_key = lo * N + hi
+        uniq_keys, edge_of_pair = np.unique(pair_key, return_inverse=True)
+        E = len(uniq_keys)
+        edges = np.stack([uniq_keys // N, uniq_keys % N], axis=1)
+
+    # edge_faces: an edge appears once per face perimeter, so (edge,
+    # face) pairs are already unique per face
+    if native_mod is not None:
+        ef_mask, edge_faces = native_mod.pad_groups_native(
+            edge_of_pair, E, face_of_entry)
+    else:
+        ef_mask, edge_faces = pad_groups(edge_of_pair, E, face_of_entry,
+                                         dedupe_key=face_of_entry)
 
     # edge_cells: union of owner/neighbour cells over edge faces
     ec_e = np.concatenate([edge_of_pair, edge_of_pair[has_neighbour[face_of_entry]]])
@@ -252,18 +278,25 @@ def compile_topology(mesh: PolyMesh) -> MeshTopology:
         np.concatenate([np.arange(E), np.arange(E)]),
     )
     pf_mask, point_faces, wedge_prev_arr, wedge_next_arr = _point_faces_wedges(
-        flat, offs, counts, face_of_entry, slot, N, F
+        flat, offs, counts, face_of_entry, slot, N, F, native_mod
     )
     # point_cells via (cell, point) incidence from faces
     pc_pt = np.concatenate([flat, flat[has_neighbour[face_of_entry]]])
     pc_cl = np.concatenate([owner[face_of_entry],
                             neighbour_full[face_of_entry][has_neighbour[face_of_entry]]])
-    pc_mask, point_cells = pad_groups(pc_pt, N, pc_cl, dedupe_key=pc_cl)
+    if native_mod is not None:
+        pc_mask, point_cells = native_mod.pad_groups_native(
+            pc_pt, N, pc_cl, dedupe=True)
+    else:
+        pc_mask, point_cells = pad_groups(pc_pt, N, pc_cl, dedupe_key=pc_cl)
 
     # cell_faces
     cf_c = np.concatenate([owner, neighbour_full[has_neighbour]])
     cf_f = np.concatenate([np.arange(F), np.arange(F)[has_neighbour]])
-    cf_mask, cell_faces = pad_groups(cf_c, C, cf_f, dedupe_key=cf_f)
+    if native_mod is not None:
+        cf_mask, cell_faces = native_mod.pad_groups_native(cf_c, C, cf_f)
+    else:
+        cf_mask, cell_faces = pad_groups(cf_c, C, cf_f, dedupe_key=cf_f)
 
     # boundary classification
     face_patch = np.full(F, -1, dtype=np.int64)
@@ -306,7 +339,8 @@ def compile_topology(mesh: PolyMesh) -> MeshTopology:
     )
 
 
-def _point_faces_wedges(flat, offs, counts, face_of_entry, slot, N, F):
+def _point_faces_wedges(flat, offs, counts, face_of_entry, slot, N, F,
+                        native_mod=None):
     """point_faces plus per-incidence wedge neighbours (prev/next in face)."""
     prv_slot = slot - 1
     prv_slot[prv_slot < 0] = counts[face_of_entry[prv_slot < 0]] - 1
@@ -315,6 +349,12 @@ def _point_faces_wedges(flat, offs, counts, face_of_entry, slot, N, F):
     nxt_slot[wrap] = 0
     prev_pt = flat[offs[face_of_entry] + prv_slot]
     next_pt = flat[offs[face_of_entry] + nxt_slot]
+    if native_mod is not None:
+        # Three order-preserving fills land in aligned slots
+        mask, pfaces = native_mod.pad_groups_native(flat, N, face_of_entry)
+        _, wprev = native_mod.pad_groups_native(flat, N, prev_pt)
+        _, wnext = native_mod.pad_groups_native(flat, N, next_pt)
+        return mask, pfaces, wprev, wnext
     mask, pfaces, wprev, wnext = pad_groups(
         flat, N, face_of_entry, prev_pt, next_pt, dedupe_key=None
     )

@@ -1,0 +1,118 @@
+"""ctypes bindings for the native mesh-compiler kernels.
+
+Loads ``native/libmeshcompiler.so`` (built by ``native/build.sh``; the
+first import attempts an automatic build).  All entry points fall back
+to numpy implementations in :mod:`smoothmesh_tpu.mesh.topology` when
+the library is unavailable, so the framework works without a C++
+toolchain — but 10M-cell mesh compilation wants the native path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    so = os.path.join(root, "native", "libmeshcompiler.so")
+    if not os.path.exists(so):
+        build = os.path.join(root, "native", "build.sh")
+        if os.path.exists(build):
+            try:
+                subprocess.run(["sh", build], check=True,
+                               capture_output=True, timeout=120)
+            except Exception:
+                return None
+    if not os.path.exists(so):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.build_edges.restype = ctypes.c_int64
+    lib.build_edges.argtypes = [i64p, i64p, ctypes.c_int64,
+                                ctypes.c_int64, i64p, i64p]
+    lib.group_counts.restype = None
+    lib.group_counts.argtypes = [i64p, ctypes.c_int64, i64p]
+    lib.group_fill.restype = None
+    lib.group_fill.argtypes = [i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+                               i64p, i64p, u8p]
+    lib.group_fill_dedup.restype = None
+    lib.group_fill_dedup.argtypes = lib.group_fill.argtypes
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def _p64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _pu8(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def build_edges(flat: np.ndarray, offsets: np.ndarray,
+                n_points: int) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Unique undirected edges + per-perimeter-entry edge ids.
+
+    Returns (edges (E,2), edge_of_pair (M,)) in first-appearance order,
+    or None if the native library is unavailable.
+    """
+    lib = _lib()
+    if lib is None:
+        return None
+    flat = np.ascontiguousarray(flat, dtype=np.int64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    m = int(offsets[-1])
+    edge_of_pair = np.empty(m, dtype=np.int64)
+    edges_buf = np.empty((m, 2), dtype=np.int64)
+    n_faces = len(offsets) - 1
+    n_edges = lib.build_edges(_p64(flat), _p64(offsets), n_faces,
+                              n_points, _p64(edge_of_pair),
+                              _p64(edges_buf))
+    if n_edges < 0:
+        raise ValueError("native build_edges: face point label out of range")
+    return edges_buf[:n_edges].copy(), edge_of_pair
+
+
+def pad_groups_native(keys: np.ndarray, nrows: int, vals: np.ndarray,
+                      dedupe: bool = False
+                      ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """(mask, padded) like topology.pad_groups but preserving input
+    order within rows, built in O(M)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    m = len(keys)
+    counts = np.zeros(nrows, dtype=np.int64)
+    lib.group_counts(_p64(keys), m, _p64(counts))
+    width = max(int(counts.max(initial=0)), 1)
+    out = np.zeros((nrows, width), dtype=np.int64)
+    mask = np.zeros((nrows, width), dtype=np.uint8)
+    cursor = np.zeros(nrows, dtype=np.int64)
+    fill = lib.group_fill_dedup if dedupe else lib.group_fill
+    fill(_p64(keys), _p64(vals), m, width, _p64(cursor), _p64(out),
+         _pu8(mask))
+    # trim over-wide dedup output
+    used = int(cursor.max(initial=0)) if dedupe else width
+    return mask[:, :used].astype(bool), out[:, :used]

@@ -264,8 +264,14 @@ def current_face_angles_per_point(points, cell_ctrs, td, chunk=None,
                                   fc_base=None):
     """Per-point current min/max face angles (reference
     calcCurrentMinMaxFaceAnglesForEdges + mapCurrentMinMaxFaceAnglesToPoints,
-    src/smoothMesh.C:938-975, :1252-1270)."""
+    src/smoothMesh.C:938-975, :1252-1270).
+
+    The per-edge pass is cheap (~100 floats of intermediates per edge),
+    so it gets its own wide chunk policy — kernel-dispatch overhead of
+    many small lax.map chunks dwarfs the compute otherwise.
+    """
     E = td["edges"].shape[0]
+    chunk = None if E <= (1 << 20) else (1 << 20)
 
     base = simple_face_centres(points, td) if fc_base is None else fc_base
 

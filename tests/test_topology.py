@@ -77,3 +77,38 @@ def test_patch_selectors():
     assert t.patch_ids_matching(["def.*"]).tolist() == [1, 2]
     assert t.patch_ids_matching([".*"]).tolist() == [0, 1, 2]
     assert t.patch_ids_matching(["walls"]).tolist() == [0]
+
+
+def test_native_and_numpy_paths_agree():
+    from smoothmesh_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    m = hex_block(n=(3, 4, 2), grading=(2.0, 1.0, 1.0))
+    a = compile_topology(m, use_native=True)
+    b = compile_topology(m, use_native=False)
+    assert a.n_edges == b.n_edges
+    # same edge set (order may differ)
+    assert set(map(tuple, a.edges.tolist())) == set(
+        map(tuple, b.edges.tolist()))
+    # same adjacency sets per row
+    for name in ("point_cells", "cell_faces", "point_faces"):
+        pa = getattr(a, name)
+        ma = getattr(a, name + "_mask")
+        pb = getattr(b, name)
+        mb = getattr(b, name + "_mask")
+        for r in range(pa.shape[0]):
+            assert set(pa[r][ma[r]].tolist()) == set(pb[r][mb[r]].tolist())
+    # wedges stay aligned with their faces
+    for p in range(a.n_points):
+        wa = {(int(a.point_faces[p, s]), int(a.wedge_prev[p, s]),
+               int(a.wedge_next[p, s]))
+              for s in range(a.point_faces.shape[1])
+              if a.point_faces_mask[p, s]}
+        wb = {(int(b.point_faces[p, s]), int(b.wedge_prev[p, s]),
+               int(b.wedge_next[p, s]))
+              for s in range(b.point_faces.shape[1])
+              if b.point_faces_mask[p, s]}
+        assert wa == wb
