@@ -349,6 +349,31 @@ def feature_edge_projections(points, bd, sync=None):
     return sums, counts
 
 
+def surface_centroids(points, td, sync=None):
+    """Mean of adjacent real-boundary face centres per boundary point
+    (reference calculateSurfaceCentroids bPS.C:781-839).
+
+    Present for parity: the reference computes this every iteration but
+    blends it with weight faceCentroidBlendingFraction = 0.0
+    (bPS.C:876, "needs more testing"), so the orchestrator only calls
+    it when a non-zero fraction is configured.
+    """
+    from smoothmesh_tpu import geometry as geo
+
+    dtype = points.dtype
+    fg = geo.face_centres_areas(points, td["face_points"],
+                                td["face_points_next"], td["face_mask"],
+                                td["face_npoints"])
+    pf = td["point_faces"]
+    sel = td["point_faces_mask"] & td["face_is_real_boundary"][pf]
+    sums = jnp.sum(fg.centres[pf] * sel[..., None].astype(dtype), axis=1)
+    counts = jnp.sum(sel, axis=1)
+    if sync is not None:
+        sums = sync.sum(sums)
+        counts = sync.sum(counts)
+    return sums, counts
+
+
 def segment_triangle_hits(orig, direction, max_dist, ta, tb, tc):
     """Nearest |t| intersections of o + t*d with the triangle soup for
     t in [0, max_dist] and [-max_dist, 0] — the brute-force masked
@@ -416,6 +441,15 @@ def project_boundary_points(points, proposal, normals, frozen, bd, td,
             & ~sharp_freeze)
     max_dist = bd["distance_tolerance"] * (1.0 / REL_TOL) ** 4
 
+    # Optional face-centroid blending; the reference hard-codes the
+    # fraction to 0.0 (bPS.C:876) so this stays inert by default
+    fcbf = bd.get("face_centroid_blending_fraction", 0.0)
+    if fcbf > 0.0:
+        sums, counts = surface_centroids(points, td, sync=sync)
+        cent = sums / jnp.maximum(counts, 1)[:, None]
+        blended = fcbf * cent + (1.0 - fcbf) * out
+        out = jnp.where((~internal & is_smoothing)[:, None], blended, out)
+
     def cast(idx):
         o = out[idx]
         d = normals[idx]
@@ -423,7 +457,11 @@ def project_boundary_points(points, proposal, normals, frozen, bd, td,
                                        bd["tri_b"], bd["tri_c"])
         hit_p = o + tp[:, None] * d
         hit_n = o - tn[:, None] * d
-        take_p = tp < tn
+        # closest of the two directional hits; on an exact tie the
+        # reference searches the full segment from the +normal end
+        # (findIntersection bPS.C:720-741), which then hits the +side
+        # point first — equivalent to taking the +normal hit
+        take_p = tp <= tn
         hit = jnp.where(take_p[:, None], hit_p, hit_n)
         has = jnp.isfinite(jnp.minimum(tp, tn))
         return hit, has

@@ -123,9 +123,16 @@ def main(argv: Sequence[str] = None) -> int:
 
     from smoothmesh_tpu.driver import Smoother
 
-    smoother = Smoother(mesh, params,
-                        dtype=np.dtype(args.dtype) if args.dtype else None,
-                        n_devices="all" if args.parallel else 1)
+    dtype = np.dtype(args.dtype) if args.dtype else None
+    if args.parallel:
+        import jax
+
+        from smoothmesh_tpu.parallel.sharded import ShardedSmoother
+
+        print(f"Running sharded over {len(jax.devices())} devices")
+        smoother = ShardedSmoother(mesh, params, dtype=dtype)
+    else:
+        smoother = Smoother(mesh, params, dtype=dtype)
     p = smoother.params
 
     print("Applying following parameter values in smoothing:")
@@ -170,6 +177,10 @@ def main(argv: Sequence[str] = None) -> int:
     smoothing_ids = smoother.topo.patch_ids_matching(
         smoother.params.smoothing_patches)
     boundary_setup = None
+    if args.parallel and surf_file:
+        print("WARNING: boundary point smoothing under -parallel is not "
+              "wired yet; running internal smoothing sharded")
+        surf_file = None
     if surf_file and (init_file or have_ckpt) and len(smoothing_ids):
         sv, st = read_obj_surface(surf_file)
         iv, ie = read_obj_edges(init_file or target_file)

@@ -174,6 +174,42 @@ def build_layer_maps(topo: MeshTopology, boundary_normals: np.ndarray,
     )
 
 
+def boundary_point_normals_np(points: np.ndarray, topo: MeshTopology):
+    """Host/numpy twin of geometry.boundary_point_normals for global
+    setup on meshes that never materialize on one device (sharded)."""
+    fp = topo.face_points
+    fm = topo.face_mask
+    fn = np.maximum(topo.face_npoints.astype(np.float64), 1.0)
+    p = points[fp]
+    f_centre = (p * fm[..., None]).sum(axis=1) / fn[:, None]
+    nxt = points[topo.face_points_next]
+    nv = np.cross(nxt - p, f_centre[:, None, :] - p)
+    a = np.linalg.norm(nv, axis=-1, keepdims=True)
+    sum_n = (nv * fm[..., None]).sum(axis=1)
+    sum_a = (a * fm[..., None]).sum(axis=1)
+    areas = np.where(sum_a > 1e-18, 0.5 * sum_n, 0.0)
+    mags = np.linalg.norm(areas, axis=-1)
+    unit = areas / np.maximum(mags, 1e-300)[:, None]
+
+    real_patch = np.array([t not in ("processor", "empty")
+                           for t in topo.patch_types])
+    eligible = np.zeros(topo.n_faces, dtype=bool)
+    bnd = topo.face_patch >= 0
+    eligible[bnd] = real_patch[topo.face_patch[bnd]]
+
+    pf = topo.point_faces
+    sel = topo.point_faces_mask & eligible[pf]
+    normals = -(unit[pf] * sel[..., None]).sum(axis=1)
+    n_faces = sel.sum(axis=1)
+    mag = np.linalg.norm(normals, axis=-1)
+    has = n_faces >= 1
+    is_sharp = has & (mag < 0.1)
+    normals[is_sharp] = 0.0
+    nz = (mag > 0) & ~is_sharp
+    normals[nz] /= mag[nz][:, None]
+    return normals, is_sharp
+
+
 # ---------------------------------------------------------------------------
 # Per-iteration device kernels
 # ---------------------------------------------------------------------------

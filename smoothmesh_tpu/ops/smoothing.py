@@ -148,22 +148,41 @@ def aspect_ratio_smoothing(points, centroidal_points, td, sync=None):
     return jnp.where((frac > 0.0)[:, None], blended, centroidal_points)
 
 
+def get_proposed_max_step_length(points, proposed, sync=None):
+    """Global maximum proposed jump (reference
+    getProposedMaxStepLength src/smoothMesh.C:657-676, allreduced)."""
+    m = jnp.max(jnp.linalg.norm(proposed - points, axis=-1))
+    if sync is not None:
+        m = sync.all_max(m)
+    return m
+
+
 def constrain_max_step_length(points, proposed, max_step_length,
-                              rel_step_frac):
+                              rel_step_frac, do_global_scaling=False,
+                              sync=None):
     """Clamp each point's jump (reference src/smoothMesh.C:684-754).
 
-    Matches the live call sites (doGlobalScaling=false): steps longer
-    than ``max_step_length`` are rescaled so the *applied* step equals
+    The live call sites use doGlobalScaling=false: steps longer than
+    ``max_step_length`` are rescaled so the *applied* step equals
     exactly ``max_step_length``; shorter steps are scaled by
-    ``rel_step_frac``.
+    ``rel_step_frac``.  The global-scaling mode (one common factor from
+    the global max proposed step, :707-715) is provided for parity.
     """
     step = proposed - points
     length = jnp.linalg.norm(step, axis=-1)
-    scale = jnp.where(
-        length > max_step_length,
-        max_step_length / (jnp.maximum(length, VSMALL) * rel_step_frac),
-        1.0,
-    )
+    if do_global_scaling:
+        proposed_max = get_proposed_max_step_length(points, proposed,
+                                                    sync=sync)
+        gscale = jnp.minimum(
+            1.0, max_step_length / jnp.maximum(
+                proposed_max * rel_step_frac, VSMALL))
+        scale = jnp.full_like(length, gscale)
+    else:
+        scale = jnp.where(
+            length > max_step_length,
+            max_step_length / (jnp.maximum(length, VSMALL) * rel_step_frac),
+            1.0,
+        )
     return points + (rel_step_frac * scale)[:, None] * step
 
 

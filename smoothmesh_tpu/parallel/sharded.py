@@ -81,7 +81,42 @@ class ShardedSmoother:
         self.normals = put(np.zeros(self.shards.local_points.shape,
                                     dtype=self.dtype))
         self.do_boundary_smoothing = False
-        self.layer = None  # sharded layer treatment: wired via driver TODO
+
+        # Sharded boundary-layer treatment: maps are built globally on
+        # the host (we hold the whole mesh, unlike the reference's
+        # per-rank build + per-level sync) and restricted per shard;
+        # off-shard prismatic targets resolve through the min-magnitude
+        # halo combine exactly like the reference's updateNeighCoords.
+        self.layer = None
+        layer_ids = self._global_topo.patch_ids_matching(
+            self.params.layer_patches)
+        if (len(layer_ids)
+                and self.params.layer_max_blending_fraction > 1e-15):
+            from smoothmesh_tpu import layers as lay
+
+            bn, sharp = lay.boundary_point_normals_np(
+                mesh.points, self._global_topo)
+            smoothing_ids = self._global_topo.patch_ids_matching(
+                self.params.smoothing_patches)
+            maps = lay.build_layer_maps(
+                self._global_topo, bn, sharp, layer_ids, smoothing_ids,
+                self.params.max_layers)
+            self.layer_maps = maps
+            Npad = self.shards.n_padded_points
+            hops = np.full((D, Npad), -1, dtype=np.int32)
+            omap = np.full((D, Npad), -1, dtype=np.int32)
+            ninit = np.zeros((D, Npad, 3), dtype=np.float64)
+            for d, gids in enumerate(self.shards.local_to_global):
+                n = len(gids)
+                g2l = np.full(mesh.n_points, -1, dtype=np.int64)
+                g2l[gids] = np.arange(n)
+                hops[d, :n] = maps.hops_layer[gids]
+                tgt = maps.outer_map[gids]
+                omap[d, :n] = np.where(tgt >= 0, g2l[np.maximum(tgt, 0)],
+                                       -1)
+                ninit[d, :n] = maps.normals_init[gids]
+            self.layer = {"hops_layer": put(hops), "outer_map": put(omap)}
+            self.normals = put(ninit.astype(self.dtype))
 
         self._step = self._build_step()
         self._iteration = 0
@@ -93,15 +128,21 @@ class ShardedSmoother:
         jmesh = self.jmesh
 
         td_specs = {k: P("shard") for k in self.td}
+        layer = self.layer if self.layer is not None else {}
+        layer_specs = {k: P("shard") for k in layer}
+        has_layer = self.layer is not None  # static
 
-        def local_step(points, smoothing_surface, normals, td, slot,
-                       valid, own):
+        def local_step(points, smoothing_surface, normals, td, layer_blk,
+                       slot, valid, own):
             # Blocks carry a leading size-1 shard axis
             sync = PointSync(slot[0], valid[0], own[0], axis="shard")
+            layer_loc = (
+                {k: v[0] for k, v in layer_blk.items()} if has_layer
+                else None)
             new_pts, new_norm, res, n_frozen = iteration_body(
                 points[0], smoothing_surface[0], normals[0],
                 {k: v[0] for k, v in td.items()},
-                p, s, do_boundary, layer=None, sync=sync)
+                p, s, do_boundary, layer=layer_loc, sync=sync)
             return (new_pts[None], new_norm[None], res[None],
                     n_frozen[None])
 
@@ -109,7 +150,7 @@ class ShardedSmoother:
             local_step,
             mesh=jmesh,
             in_specs=(P("shard"), P("shard"), P("shard"), td_specs,
-                      P("shard"), P("shard"), P("shard")),
+                      layer_specs, P("shard"), P("shard"), P("shard")),
             out_specs=(P("shard"), P("shard"), P("shard"), P("shard")),
             check_vma=False,
         )
@@ -119,12 +160,18 @@ class ShardedSmoother:
         self._iteration += 1
         new_points, new_normals, res, n_frozen = self._step(
             self.points, self.smoothing_surface, self.normals, self.td,
+            self.layer if self.layer is not None else {},
             self.slot, self.valid, self.owner_is_me)
         self.points = new_points
         self.normals = new_normals
         # Every shard already holds the global reductions; take shard 0
         return StepResult(self._iteration, float(np.asarray(res)[0]),
                           int(np.asarray(n_frozen)[0]))
+
+    @property
+    def topo(self):
+        """Global topology (for patch queries and reporting)."""
+        return self._global_topo
 
     def denormalize(self, pts=None) -> np.ndarray:
         """Assemble the global point field (host, float64)."""

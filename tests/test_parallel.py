@@ -80,3 +80,34 @@ def test_shared_points_consistent_across_shards(mesh):
     for s in range(S):
         col = vals[:, s][~np.isnan(vals[:, s, 0])]
         assert np.all(col == col[0])  # bit-identical on every holder
+
+
+def test_sharded_layer_treatment_matches_serial():
+    m = perturb(
+        hex_block(n=(5, 5, 6), grading=(1.0, 1.0, 3.0),
+                  patches={"walls": ["zmin"],
+                           "outer": ["xmin", "xmax", "ymin", "ymax",
+                                     "zmax"]}),
+        0.02, seed=4)
+    # Constraints near shard boundaries legitimately diverge from
+    # serial (the reference evaluates them rank-locally and only ORs
+    # the freeze mask — syncTools semantics, src/smoothMesh.C:2374);
+    # disable them so this test isolates the layer machinery, which
+    # must agree exactly.
+    params = SmoothingParams(centroidal_iters=8, rel_tol=0.0,
+                             layer_patches=("walls",),
+                             layer_edge_length=0.04, max_layers=3,
+                             edge_angle_constraint=False,
+                             face_angle_constraint=False,
+                             min_edge_length=1e-12)
+    serial = Smoother(m, params)
+    assert serial.layer is not None
+    for _ in range(8):
+        rs = serial.step()
+    sharded = ShardedSmoother(m, params, devices=jax.devices()[:4])
+    assert sharded.layer is not None
+    for _ in range(8):
+        rp = sharded.step()
+    assert np.isclose(rs.residual, rp.residual, rtol=1e-9, atol=1e-12)
+    assert np.allclose(serial.denormalize(), sharded.denormalize(),
+                       atol=1e-11)
