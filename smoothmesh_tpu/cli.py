@@ -177,10 +177,6 @@ def main(argv: Sequence[str] = None) -> int:
     smoothing_ids = smoother.topo.patch_ids_matching(
         smoother.params.smoothing_patches)
     boundary_setup = None
-    if args.parallel and surf_file:
-        print("WARNING: boundary point smoothing under -parallel is not "
-              "wired yet; running internal smoothing sharded")
-        surf_file = None
     if surf_file and (init_file or have_ckpt) and len(smoothing_ids):
         sv, st = read_obj_surface(surf_file)
         iv, ie = read_obj_edges(init_file or target_file)

@@ -132,17 +132,36 @@ class ShardedSmoother:
         layer_specs = {k: P("shard") for k in layer}
         has_layer = self.layer is not None  # static
 
+        REPLICATED = ("edge_a", "edge_b", "edge_strings", "tri_a", "tri_b",
+                      "tri_c")
+        has_bnd = do_boundary  # static
+        if has_bnd:
+            bnd_sh = {k: v for k, v in self.bnd.items()
+                      if k not in REPLICATED and k != "distance_tolerance"}
+            bnd_rep = {k: self.bnd[k] for k in REPLICATED}
+            dist_tol = self.bnd["distance_tolerance"]
+        else:
+            bnd_sh, bnd_rep, dist_tol = {}, {}, 0.0
+        bnd_sh_specs = {k: P("shard") for k in bnd_sh}
+        bnd_rep_specs = {k: P() for k in bnd_rep}
+
         def local_step(points, smoothing_surface, normals, td, layer_blk,
-                       slot, valid, own):
+                       bnd_sh_blk, bnd_rep_blk, slot, valid, own):
             # Blocks carry a leading size-1 shard axis
             sync = PointSync(slot[0], valid[0], own[0], axis="shard")
             layer_loc = (
                 {k: v[0] for k, v in layer_blk.items()} if has_layer
                 else None)
+            bnd_loc = None
+            if has_bnd:
+                bnd_loc = {k: v[0] for k, v in bnd_sh_blk.items()}
+                bnd_loc.update(bnd_rep_blk)
+                bnd_loc["distance_tolerance"] = dist_tol
             new_pts, new_norm, res, n_frozen = iteration_body(
                 points[0], smoothing_surface[0], normals[0],
                 {k: v[0] for k, v in td.items()},
-                p, s, do_boundary, layer=layer_loc, sync=sync)
+                p, s, do_boundary, layer=layer_loc, bnd=bnd_loc,
+                sync=sync)
             return (new_pts[None], new_norm[None], res[None],
                     n_frozen[None])
 
@@ -150,17 +169,21 @@ class ShardedSmoother:
             local_step,
             mesh=jmesh,
             in_specs=(P("shard"), P("shard"), P("shard"), td_specs,
-                      layer_specs, P("shard"), P("shard"), P("shard")),
+                      layer_specs, bnd_sh_specs, bnd_rep_specs,
+                      P("shard"), P("shard"), P("shard")),
             out_specs=(P("shard"), P("shard"), P("shard"), P("shard")),
             check_vma=False,
         )
+        self._bnd_args = (bnd_sh, bnd_rep)
         return jax.jit(sm)
 
     def step(self) -> StepResult:
         self._iteration += 1
+        bnd_sh, bnd_rep = getattr(self, "_bnd_args", ({}, {}))
         new_points, new_normals, res, n_frozen = self._step(
             self.points, self.smoothing_surface, self.normals, self.td,
             self.layer if self.layer is not None else {},
+            bnd_sh, bnd_rep,
             self.slot, self.valid, self.owner_is_me)
         self.points = new_points
         self.normals = new_normals
@@ -172,6 +195,144 @@ class ShardedSmoother:
     def topo(self):
         """Global topology (for patch queries and reporting)."""
         return self._global_topo
+
+    def _global_layer_maps(self):
+        if getattr(self, "layer_maps", None) is not None:
+            return self.layer_maps
+        from smoothmesh_tpu import layers as lay
+
+        bn, sharp = lay.boundary_point_normals_np(
+            self.mesh_host.points, self._global_topo)
+        layer_ids = self._global_topo.patch_ids_matching(
+            self.params.layer_patches)
+        smoothing_ids = self._global_topo.patch_ids_matching(
+            self.params.smoothing_patches)
+        self.layer_maps = lay.build_layer_maps(
+            self._global_topo, bn, sharp, layer_ids, smoothing_ids,
+            self.params.max_layers)
+        return self.layer_maps
+
+    def enable_boundary_smoothing(
+        self, surf_vertices, surf_tris, init_edge_points, init_edges,
+        target_edge_points=None, target_edges=None,
+        checkpoint_corner=None, checkpoint_feature=None,
+    ):
+        """Sharded boundary point smoothing: classification runs once
+        globally on the host (reference classifyBoundaryPoints runs
+        per rank + reduces, bPS.C:269-441 — we hold the global mesh);
+        flags and maps restrict per shard, feature-neighbour tables are
+        built from each shard's *local* adjacency so the per-rank
+        partial projection sums (and the reference's double counting of
+        neighbours shared by ranks) are reproduced exactly.
+        """
+        from smoothmesh_tpu import boundary as bps
+
+        mesh = self.mesh_host
+        if target_edge_points is None:
+            target_edge_points, target_edges = init_edge_points, init_edges
+        bps.check_edge_mesh_sanity(init_edge_points, init_edges,
+                                   self.stats.min_edge_length,
+                                   self.stats.perimeter)
+        bps.check_edge_mesh_sanity(target_edge_points, target_edges,
+                                   self.stats.min_edge_length,
+                                   self.stats.perimeter)
+        maps = self._global_layer_maps()
+        layer_ids = self._global_topo.patch_ids_matching(
+            self.params.layer_patches)
+        smoothing_ids = self._global_topo.patch_ids_matching(
+            self.params.smoothing_patches)
+        setup = bps.classify_boundary_points(
+            self._global_topo, init_edge_points, init_edges,
+            target_edge_points, target_edges, surf_vertices, surf_tris,
+            layer_ids, smoothing_ids, mesh.points,
+            self.params.distance_tolerance,
+            checkpoint_corner=checkpoint_corner,
+            checkpoint_feature=checkpoint_feature)
+        self.boundary_setup = setup
+
+        D = self.shards.n_shards
+        Npad = self.shards.n_padded_points
+        t = lambda x: ((np.asarray(x, dtype=np.float64) - self._center)
+                       * self._scale)
+        s = self._scale
+
+        def restrict_flags(glob, fill=False):
+            out = np.full((D, Npad), fill, dtype=np.asarray(glob).dtype)
+            for d, gids in enumerate(self.shards.local_to_global):
+                out[d, :len(gids)] = glob[gids]
+            return out
+
+        corner_t = np.full((D, Npad, 3), 1e18)
+        inner = np.full((D, Npad), -1, dtype=np.int32)
+        W = self.shards.stacked["point_points"].shape[2]
+        feat_n = np.zeros((D, Npad, W), dtype=np.int32)
+        feat_m = np.zeros((D, Npad, W), dtype=bool)
+        for d, gids in enumerate(self.shards.local_to_global):
+            n = len(gids)
+            corner_t[d, :n] = t(setup.corner_targets[gids])
+            g2l = np.full(mesh.n_points, -1, dtype=np.int64)
+            g2l[gids] = np.arange(n)
+            tgt = maps.inner_map[gids]
+            inner[d, :n] = np.where(tgt >= 0, g2l[np.maximum(tgt, 0)], -1)
+            # feature neighbours from LOCAL adjacency + global flags
+            lt = self.shards.topos[d]
+            pp = lt.point_points
+            ppm = lt.point_points_mask
+            gpp = gids[pp]
+            ok = (ppm & ~lt.is_internal_point[pp]
+                  & ~setup.is_feature_edge[gpp] & ~setup.is_corner[gpp]
+                  & setup.is_feature_edge[gids][:, None])
+            feat_n[d, :n, :pp.shape[1]] = np.where(ok, pp, 0)
+            feat_m[d, :n, :pp.shape[1]] = ok
+
+        shard0 = NamedSharding(self.jmesh, P("shard"))
+        rep0 = NamedSharding(self.jmesh, P())
+
+        def put(x):
+            return jax.device_put(jnp.asarray(x), shard0)
+
+        def put_rep(x, dtype=None):
+            return jax.device_put(
+                jnp.asarray(x, dtype=dtype), rep0)
+
+        self.bnd = {
+            "is_corner": put(restrict_flags(setup.is_corner)),
+            "is_feature_edge": put(restrict_flags(setup.is_feature_edge)),
+            "is_smoothing_surface": put(
+                restrict_flags(setup.is_smoothing_surface)),
+            "is_connected": put(restrict_flags(setup.is_connected)),
+            "smoothing_surface": put(
+                restrict_flags(setup.is_smoothing_surface)),
+            "point_strings": put(
+                restrict_flags(setup.point_strings, fill=-1).astype(
+                    np.int32)),
+            "corner_targets": put(corner_t.astype(self.dtype)),
+            "inner_map": put(inner),
+            "feat_neigh": put(feat_n),
+            "feat_neigh_mask": put(feat_m),
+            # replicated target geometry
+            "edge_a": put_rep(
+                t(setup.target_edge_points[setup.target_edges[:, 0]]),
+                self.dtype),
+            "edge_b": put_rep(
+                t(setup.target_edge_points[setup.target_edges[:, 1]]),
+                self.dtype),
+            "edge_strings": put_rep(setup.target_edge_strings, jnp.int32),
+            "tri_a": put_rep(t(setup.surf_tri_a), self.dtype),
+            "tri_b": put_rep(t(setup.surf_tri_b), self.dtype),
+            "tri_c": put_rep(t(setup.surf_tri_c), self.dtype),
+            "distance_tolerance": float(setup.distance_tolerance * s),
+        }
+        self.smoothing_surface = put(
+            restrict_flags(setup.is_smoothing_surface))
+        # normals state needs the propagated initial normals
+        ninit = np.zeros((D, Npad, 3))
+        for d, gids in enumerate(self.shards.local_to_global):
+            ninit[d, :len(gids)] = maps.normals_init[gids]
+        self.normals = put(ninit.astype(self.dtype))
+        self.do_boundary_smoothing = True
+        self._step = self._build_step()
+        return setup
 
     def denormalize(self, pts=None) -> np.ndarray:
         """Assemble the global point field (host, float64)."""

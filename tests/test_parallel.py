@@ -111,3 +111,35 @@ def test_sharded_layer_treatment_matches_serial():
     assert np.isclose(rs.residual, rp.residual, rtol=1e-9, atol=1e-12)
     assert np.allclose(serial.denormalize(), sharded.denormalize(),
                        atol=1e-11)
+
+
+def test_sharded_boundary_smoothing_matches_serial():
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_boundary import _dome_fixture
+
+    m, dome_z, V, tris, bpts, bedges = _dome_fixture()
+    # Freeze-free parameter set: constraint evaluation is rank-local in
+    # the reference's parallel mode, so exact parity is only defined
+    # without freezes (see test_sharded_layer_treatment_matches_serial)
+    params = SmoothingParams(centroidal_iters=6, rel_tol=0.0,
+                             smoothing_patches=("top",),
+                             edge_angle_constraint=False,
+                             face_angle_constraint=False,
+                             min_edge_length=1e-12)
+    serial = Smoother(m, params)
+    serial.enable_boundary_smoothing(V, tris, bpts, bedges)
+    for _ in range(6):
+        rs = serial.step()
+
+    sharded = ShardedSmoother(m, params, devices=jax.devices()[:4])
+    setup = sharded.enable_boundary_smoothing(V, tris, bpts, bedges)
+    assert np.array_equal(setup.is_corner,
+                          serial.boundary_setup.is_corner)
+    for _ in range(6):
+        rp = sharded.step()
+    assert np.isclose(rs.residual, rp.residual, rtol=1e-9, atol=1e-12)
+    assert np.allclose(serial.denormalize(), sharded.denormalize(),
+                       atol=1e-10)
