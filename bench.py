@@ -26,7 +26,10 @@ import numpy as np
 
 # Benchmark always targets the real device (TPU under axon); fall back
 # to whatever JAX gives us.
-N_SIDE = int(os.environ.get("SMOOTHMESH_BENCH_N", "96"))
+# Default 64^3 (262k cells): large enough to be bandwidth-bound, small
+# enough that the axon remote compiler finishes reliably; raise via env
+# for scale studies.
+N_SIDE = int(os.environ.get("SMOOTHMESH_BENCH_N", "64"))
 ITERS = int(os.environ.get("SMOOTHMESH_BENCH_ITERS", "10"))
 REFERENCE_CPU_POINTS_PER_SEC = 1.1e5
 

@@ -74,6 +74,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("-writeInterval", "--writeInterval", type=int, default=None)
     a("-dtype", "--dtype", default=None,
       help="coordinate dtype on device (float32/float64)")
+    a("-profileDir", "--profileDir", default=None,
+      help="capture a JAX profiler trace of the smoothing loop")
     return ap
 
 
@@ -231,7 +233,7 @@ def main(argv: Sequence[str] = None) -> int:
         print(f"Writing new mesh to time {t:g} ({out})")
         print()
 
-    smoother.run(on_write=on_write)
+    smoother.run(on_write=on_write, profile_dir=args.profileDir)
     print()
     print("End")
     return 0

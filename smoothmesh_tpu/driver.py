@@ -51,6 +51,7 @@ class StepResult:
     iteration: int
     residual: float
     n_frozen: int
+    wall_ms: float = 0.0
 
 
 def iteration_body(points, smoothing_surface, normals_state, td,
@@ -356,22 +357,51 @@ class Smoother:
 
     def step(self) -> StepResult:
         self._iteration += 1
+        t0 = time.time()
         new_points, normals, res, n_frozen = self._step(
             self.points, self.smoothing_surface, self.normals)
+        res = float(res)  # host sync: completes the step
+        wall = (time.time() - t0) * 1e3
         self.points = new_points
         self.normals = normals
-        return StepResult(self._iteration, float(res), int(n_frozen))
+        return StepResult(self._iteration, res, int(n_frozen), wall)
 
     def run(self, log: Optional[Callable[[str], None]] = print,
-            on_write: Optional[Callable[[int, np.ndarray], None]] = None
-            ) -> StepResult:
+            on_write: Optional[Callable[[int, np.ndarray], None]] = None,
+            profile_dir: Optional[str] = None) -> StepResult:
         """The full iteration loop with convergence + periodic writes
-        (reference src/smoothMesh.C:2257-2437)."""
+        (reference src/smoothMesh.C:2257-2437).
+
+        ``profile_dir`` captures a JAX profiler trace of the loop
+        (view with TensorBoard / xprof) — the framework's tracing
+        subsystem; the reference only prints a wall clock (:2439).
+        """
+        import contextlib
+
         p = self.params
         t0 = time.time()
         result = StepResult(0, float("inf"), 0)
+        iter_ms = []
+        ctx = (jax.profiler.trace(profile_dir) if profile_dir
+               else contextlib.nullcontext())
+        with ctx:
+            result = self._run_loop(log, on_write, result, iter_ms)
+        if log:
+            n = max(len(iter_ms) - 1, 1)  # drop the compile iteration
+            steady = iter_ms[1:] or iter_ms
+            if steady:
+                mean_ms = sum(steady) / len(steady)
+                rate = self.topo.n_points / (mean_ms / 1e3)
+                log(f"Performance: {mean_ms:.1f} ms/iteration, "
+                    f"{rate:,.0f} point-updates/s")
+            log(f"ClockTime = {time.time() - t0:.1f} s.")
+        return result
+
+    def _run_loop(self, log, on_write, result, iter_ms) -> StepResult:
+        p = self.params
         for i in range(p.centroidal_iters):
             result = self.step()
+            iter_ms.append(result.wall_ms)
             if log:
                 log(f"Smoothing iteration={result.iteration} "
                     f"nFrozenPoints={result.n_frozen} "
@@ -386,8 +416,6 @@ class Smoother:
                 on_write(result.iteration, self.denormalize())
             if stop:
                 break
-        if log:
-            log(f"ClockTime = {time.time() - t0:.1f} s.")
         return result
 
     # -- reporting -----------------------------------------------------------

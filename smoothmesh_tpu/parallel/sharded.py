@@ -342,11 +342,17 @@ class ShardedSmoother:
         return glob / self._scale + self._center
 
     def run(self, log: Optional[Callable[[str], None]] = print,
-            on_write=None) -> StepResult:
+            on_write=None, profile_dir: Optional[str] = None
+            ) -> StepResult:
+        import contextlib
+
+        ctx = (jax.profiler.trace(profile_dir) if profile_dir
+               else contextlib.nullcontext())
         p = self.params
         t0 = time.time()
         result = StepResult(0, float("inf"), 0)
-        for i in range(p.centroidal_iters):
+        with ctx:
+         for i in range(p.centroidal_iters):
             result = self.step()
             if log:
                 log(f"Smoothing iteration={result.iteration} "
