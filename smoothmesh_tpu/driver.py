@@ -341,25 +341,42 @@ class Smoother:
     def _build_step(self):
         p = self.params
         s = self._scale
-        td = self.td
         do_boundary = self.do_boundary_smoothing  # static: gates tracing
-
         chunk = self.face_angle_chunk
-        layer = self.layer
-        bnd = self.bnd
+        has_layer = self.layer is not None
+        has_bnd = self.bnd is not None
+        dist_tol = (self.bnd or {}).get("distance_tolerance", 0.0)
 
-        def step(points, smoothing_surface, normals):
+        # Topology and map arrays are jit *arguments*, not closure
+        # constants: closed-over arrays embed as HLO literals, which
+        # bloats programs to hundreds of MB at 1M+ cells (and overflows
+        # the axon remote-compiler's upload limit).
+        def step(points, smoothing_surface, normals, td, layer, bnd):
+            layer_in = layer if has_layer else None
+            if has_bnd:
+                bnd = dict(bnd)
+                bnd["distance_tolerance"] = dist_tol
+                bnd_in = bnd
+            else:
+                bnd_in = None
             return iteration_body(points, smoothing_surface, normals, td,
-                                  p, s, do_boundary, layer=layer, bnd=bnd,
-                                  chunk=chunk)
+                                  p, s, do_boundary, layer=layer_in,
+                                  bnd=bnd_in, chunk=chunk)
 
         return step
+
+    def _bnd_arrays(self):
+        if self.bnd is None:
+            return {}
+        return {k: v for k, v in self.bnd.items()
+                if k != "distance_tolerance"}
 
     def step(self) -> StepResult:
         self._iteration += 1
         t0 = time.time()
         new_points, normals, res, n_frozen = self._step(
-            self.points, self.smoothing_surface, self.normals)
+            self.points, self.smoothing_surface, self.normals, self.td,
+            self.layer or {}, self._bnd_arrays())
         res = float(res)  # host sync: completes the step
         wall = (time.time() - t0) * 1e3
         self.points = new_points

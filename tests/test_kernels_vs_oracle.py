@@ -126,3 +126,50 @@ def test_residual():
     pts = jnp.zeros((5, 3))
     new = pts.at[2, 0].set(0.004)
     assert np.isclose(float(calculate_residual(pts, new, 0.01)), 0.4)
+
+
+def test_global_scaling_step_limit(setup):
+    m, t, td, pts, ctrs = setup
+    from smoothmesh_tpu.ops.smoothing import get_proposed_max_step_length
+
+    cent = centroidal_smoothing(pts, ctrs, td, do_boundary_smoothing=False)
+    gmax = float(get_proposed_max_step_length(pts, cent))
+    assert gmax > 0
+    out = constrain_max_step_length(pts, cent, 0.01, 0.5,
+                                    do_global_scaling=True)
+    # one common factor: applied steps are proportional to proposals
+    step = np.asarray(out) - m.points
+    prop = np.asarray(cent) - m.points
+    nz = np.linalg.norm(prop, axis=1) > 1e-12
+    ratio = np.linalg.norm(step[nz], axis=1) / np.linalg.norm(prop[nz],
+                                                             axis=1)
+    assert np.allclose(ratio, ratio[0], rtol=1e-9)
+    # reference formula: scale = min(1, maxStep/(gmax*relFrac)) * relFrac
+    expected = min(1.0, 0.01 / (gmax * 0.5)) * 0.5
+    assert np.isclose(ratio[0], expected, rtol=1e-9)
+
+
+def test_surface_centroids(setup):
+    m, t, td, pts, ctrs = setup
+    from smoothmesh_tpu.boundary import surface_centroids
+
+    sums, counts = surface_centroids(pts, td)
+    bnd = ~t.is_internal_point
+    assert np.all(np.asarray(counts)[bnd] > 0)
+    assert np.all(np.asarray(counts)[~bnd] == 0)
+    # corner point of the cube: mean of its 3 boundary face centres
+    c = int(np.where(bnd)[0][0])
+
+
+def test_debug_stl_export(tmp_path, setup):
+    m, t, td, pts, ctrs = setup
+    from smoothmesh_tpu.utils import export_edges_as_stl
+
+    pmap = np.full(t.n_points, -1)
+    pmap[5] = 6
+    pmap[7] = 8
+    n = export_edges_as_stl(str(tmp_path / "e.stl"), m.points, pmap)
+    assert n == 2
+    text = (tmp_path / "e.stl").read_text()
+    assert text.count("facet") == 4  # 2 facet + 2 endfacet
+    assert text.startswith("solid")
