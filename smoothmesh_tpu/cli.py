@@ -76,6 +76,8 @@ def build_parser() -> argparse.ArgumentParser:
       help="coordinate dtype on device (float32/float64)")
     a("-profileDir", "--profileDir", default=None,
       help="capture a JAX profiler trace of the smoothing loop")
+    a("-checkMesh", "--checkMesh", action="store_true",
+      help="print a checkMesh-style quality report after smoothing")
     return ap
 
 
@@ -234,6 +236,28 @@ def main(argv: Sequence[str] = None) -> int:
         print()
 
     smoother.run(on_write=on_write, profile_dir=args.profileDir)
+
+    if args.checkMesh:
+        from smoothmesh_tpu.quality import check_mesh
+        import jax.numpy as jnp
+
+        if hasattr(smoother, "quality"):
+            rep = smoother.quality()
+            ok = (rep["n_negative_volumes"] == 0
+                  and rep["max_non_ortho_deg"] < 70.0
+                  and rep["max_skewness"] < 4.0)
+        else:
+            rep = check_mesh(jnp.asarray(smoother.denormalize()),
+                             __import__("smoothmesh_tpu.device",
+                                        fromlist=["to_device"]
+                                        ).to_device(smoother.topo))
+            ok = rep.pop("ok")
+        print()
+        print("Mesh quality report (checkMesh equivalent):")
+        for k, v in rep.items():
+            print(f"    {k:22s} {v:.6g}" if isinstance(v, float)
+                  else f"    {k:22s} {v}")
+        print("    Mesh OK." if ok else "    *** Mesh quality check FAILED")
     print()
     print("End")
     return 0

@@ -285,17 +285,17 @@ def current_face_angles_per_point(points, cell_ctrs, td, chunk=None,
 
     min_e, max_e = _map_chunks(eval_edges, E, chunk)
     # Padded edge rows (sharded stacked topologies) must not poison the
-    # per-point scatter
+    # per-point reduction
     valid = td["edge_valid"]
     min_e = jnp.where(valid, min_e, TWO_PI)
     max_e = jnp.where(valid, max_e, 0.0)
-    N = points.shape[0]
-    e0 = td["edges"][:, 0]
-    e1 = td["edges"][:, 1]
-    min_p = jnp.full((N,), TWO_PI, dtype=points.dtype)
-    max_p = jnp.zeros((N,), dtype=points.dtype)
-    min_p = min_p.at[e0].min(min_e).at[e1].min(min_e)
-    max_p = max_p.at[e0].max(max_e).at[e1].max(max_e)
+    # Edge -> point reduction as a GATHER over point_edges (a point's
+    # edges are exactly the edges containing it): TPU scatters
+    # serialize and run ~20x slower than gathers.
+    pe = td["point_edges"]
+    pm = td["point_edges_mask"]
+    min_p = jnp.min(jnp.where(pm, min_e[pe], TWO_PI), axis=1)
+    max_p = jnp.max(jnp.where(pm, max_e[pe], 0.0), axis=1)
     return min_p, max_p
 
 
