@@ -139,6 +139,17 @@ def main(argv: Sequence[str] = None) -> int:
         smoother = Smoother(mesh, params, dtype=dtype)
     p = smoother.params
 
+    layer_ids = smoother.topo.patch_ids_matching(p.layer_patches)
+    if len(layer_ids):
+        print(f"Patches for boundary layer treatment: {args.layerPatches}")
+    else:
+        print("Patches for boundary layer treatment: none")
+    if args.smoothingPatches:
+        print("Patches for boundary point smoothing: "
+              f"{args.smoothingPatches}")
+    else:
+        print('Patches for boundary point smoothing: (".*")')
+    print()
     print("Applying following parameter values in smoothing:")
     print(f"    centroidalIters        {p.centroidal_iters}")
     print(f"    relTol                 {p.rel_tol}")
@@ -159,6 +170,15 @@ def main(argv: Sequence[str] = None) -> int:
     else:
         print("    faceAngleConstraint    false (face angle quality "
               "constraints are NOT applied)")
+    if p.layer_max_blending_fraction > 1e-15 and len(layer_ids):
+        print(f"    layerMaxBlendingFraction {p.layer_max_blending_fraction}")
+        print(f"    layerEdgeLength          {p.layer_edge_length:.6g}")
+        print(f"    layerExpansionRatio      {p.layer_expansion_ratio}")
+        print(f"    minLayers                {p.min_layers}")
+        print(f"    maxLayers                {p.max_layers}")
+    else:
+        print("    layerMaxBlendingFraction 0 (boundary layer treatment "
+              "is NOT applied)")
     warn = p.warn_step_length()
     if warn:
         print(warn)
@@ -218,6 +238,7 @@ def main(argv: Sequence[str] = None) -> int:
     print(f"  - {n_total - n_internal} boundary points")
     print(f"Mesh minimum edge length = {smoother.stats.min_edge_length:.6g}")
     print(f"Mesh maximum edge length = {smoother.stats.max_edge_length:.6g}")
+    print(f"Distance tolerance = {p.distance_tolerance:.6g}")
     print()
 
     def on_write(iteration: int, pts: np.ndarray) -> None:

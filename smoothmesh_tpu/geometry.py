@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 ROOT_VSMALL = 1e-18
@@ -34,10 +35,20 @@ class FaceGeometry(NamedTuple):
 
 def face_centres_areas(points, face_points, face_points_next, face_mask,
                        face_npoints) -> FaceGeometry:
-    """OpenFOAM-style face centres and area vectors for all faces."""
+    """OpenFOAM-style face centres and area vectors for all faces.
+
+    The cyclic next-vertex coordinates come from rolling the gathered
+    block (slot n-1 wraps to slot 0) instead of a second full gather —
+    TPU gathers dominate this kernel's cost.
+    """
     dtype = points.dtype
+    del face_points_next  # superseded by the roll; kept for API parity
     p = points[face_points]          # (F, W, 3)
-    nxt = points[face_points_next]   # (F, W, 3)
+    W = face_points.shape[1]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    is_last = slot == (face_npoints.astype(jnp.int32)[:, None] - 1)
+    rolled = jnp.roll(p, -1, axis=1)
+    nxt = jnp.where(is_last[..., None], p[:, :1, :], rolled)
     m = face_mask[..., None].astype(dtype)
     n_pts = face_npoints.astype(dtype)[:, None]
 

@@ -127,6 +127,21 @@ class ShardedSmoother:
         do_boundary = self.do_boundary_smoothing
         jmesh = self.jmesh
 
+        # Face-angle chunk from the padded per-shard sizes (bounds the
+        # active-point evaluation batches, see driver)
+        from smoothmesh_tpu.driver import default_face_angle_chunk
+
+        class _Dims:  # shape adapter for the chunk heuristic
+            pass
+
+        dims = _Dims()
+        dims.point_points = self.shards.stacked["point_points"][0]
+        dims.point_edges = self.shards.stacked["point_edges"][0]
+        dims.edge_faces = self.shards.stacked["edge_faces"][0]
+        dims.face_points = self.shards.stacked["face_points"][0]
+        dims.n_points = self.shards.n_padded_points
+        chunk = default_face_angle_chunk(dims)
+
         td_specs = {k: P("shard") for k in self.td}
         layer = self.layer if self.layer is not None else {}
         layer_specs = {k: P("shard") for k in layer}
@@ -161,7 +176,7 @@ class ShardedSmoother:
                 points[0], smoothing_surface[0], normals[0],
                 {k: v[0] for k, v in td.items()},
                 p, s, do_boundary, layer=layer_loc, bnd=bnd_loc,
-                sync=sync)
+                sync=sync, chunk=chunk)
             return (new_pts[None], new_norm[None], res[None],
                     n_frozen[None])
 
