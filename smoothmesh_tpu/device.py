@@ -49,6 +49,7 @@ def to_device(topo: MeshTopology) -> Dict[str, jnp.ndarray]:
         "point_faces_mask": topo.point_faces_mask,
         "point_edges": topo.point_edges,
         "point_edges_mask": topo.point_edges_mask,
+        "point_edges_side": topo.point_edges_side,
         "wedge_prev": topo.wedge_prev,
         "wedge_next": topo.wedge_next,
         "cell_faces": topo.cell_faces,

@@ -136,6 +136,8 @@ class MeshTopology:
     point_faces_mask: np.ndarray
     point_edges: np.ndarray       # (N, maxPE)
     point_edges_mask: np.ndarray
+    point_edges_side: np.ndarray  # (N, maxPE) which endpoint slot the
+                                  # point occupies in each of its edges
     # edge-angle wedges: for each (point, face) incidence, the previous
     # and next point in that face's perimeter (reference
     # getNeighbourPoints, src/smoothMesh.C:793-831)
@@ -277,6 +279,11 @@ def compile_topology(mesh: PolyMesh, use_native: bool = True) -> MeshTopology:
         np.concatenate([edges[:, 0], edges[:, 1]]), N,
         np.concatenate([np.arange(E), np.arange(E)]),
     )
+    # side table: which endpoint slot (0/1) the point occupies in each
+    # of its edges (used by the edge-centric face-angle evaluation)
+    point_edges_side = np.where(
+        edges[point_edges, 0] == np.arange(N)[:, None], 0, 1
+    ).astype(np.int64)
     pf_mask, point_faces, wedge_prev_arr, wedge_next_arr = _point_faces_wedges(
         flat, offs, counts, face_of_entry, slot, N, F, native_mod
     )
@@ -328,6 +335,7 @@ def compile_topology(mesh: PolyMesh, use_native: bool = True) -> MeshTopology:
         point_faces_mask=pf_mask,
         point_edges=point_edges.astype(np.int32),
         point_edges_mask=pe_mask,
+        point_edges_side=point_edges_side.astype(np.int32),
         wedge_prev=wedge_prev_arr.astype(np.int32),
         wedge_next=wedge_next_arr.astype(np.int32),
         cell_faces=cell_faces.astype(np.int32),

@@ -132,7 +132,7 @@ def simple_face_centres(points, td):
 
 
 def face_angles_for_edges(points, cell_ctrs, td, edge_ids, s1, c1, s2, c2,
-                          fc_base=None):
+                          fc_base=None, with_subst=True):
     """Min/max projected face-face angle per edge with substitutions.
 
     Vectorized ``calcMinMaxFaceAngleForEdge`` (reference
@@ -155,7 +155,8 @@ def face_angles_for_edges(points, cell_ctrs, td, edge_ids, s1, c1, s2, c2,
     dtype = points.dtype
     edges = td["edges"][edge_ids]                       # (B, 2)
     e_pts = points[edges]                               # (B, 2, 3)
-    e_pts = _subst(edges, e_pts, s1, c1, s2, c2)
+    if with_subst:
+        e_pts = _subst(edges, e_pts, s1, c1, s2, c2)
     e0, e1 = e_pts[:, 0], e_pts[:, 1]
     c_ctr = 0.5 * (e0 + e1)
     e_vec = e1 - e0
@@ -166,19 +167,22 @@ def face_angles_for_edges(points, cell_ctrs, td, edge_ids, s1, c1, s2, c2,
         fc_base = simple_face_centres(points, td)
 
     fids = td["edge_faces"][edge_ids]                   # (B, WF)
-    f_n = td["face_npoints"][fids].astype(dtype)        # (B, WF)
     f_ctr = fc_base[fids]                               # (B, WF, 3)
-    f_pts_ids = td["face_points"][fids]                 # (B, WF, WP) ints
-    f_pmask = td["face_mask"][fids]
-    for sid, sc in ((s1, c1), (s2, c2)):
-        has = sid >= 0
-        inf = jnp.any(
-            (f_pts_ids == sid[:, None, None]) & f_pmask, axis=2
-        ) & has[:, None]                                # (B, WF)
-        delta = (sc - points[jnp.maximum(sid, 0)])      # (B, 3)
-        f_ctr = f_ctr + (
-            inf.astype(dtype) / jnp.maximum(f_n, 1.0)
-        )[..., None] * delta[:, None, :]
+    if with_subst:
+        # Substitution corrections: membership gathers are the dominant
+        # row traffic; skipped entirely on the no-substitution path
+        f_n = td["face_npoints"][fids].astype(dtype)    # (B, WF)
+        f_pts_ids = td["face_points"][fids]             # (B, WF, WP) ints
+        f_pmask = td["face_mask"][fids]
+        for sid, sc in ((s1, c1), (s2, c2)):
+            has = sid >= 0
+            inf = jnp.any(
+                (f_pts_ids == sid[:, None, None]) & f_pmask, axis=2
+            ) & has[:, None]                            # (B, WF)
+            delta = (sc - points[jnp.maximum(sid, 0)])  # (B, 3)
+            f_ctr = f_ctr + (
+                inf.astype(dtype) / jnp.maximum(f_n, 1.0)
+            )[..., None] * delta[:, None, :]
 
     def project_unit(x):
         # Project x onto the plane through c_ctr normal to e_vec, then
@@ -207,37 +211,6 @@ def face_angles_for_edges(points, cell_ctrs, td, edge_ids, s1, c1, s2, c2,
     min_a = jnp.min(jnp.where(c_mask, ang, TWO_PI), axis=1)
     max_a = jnp.max(jnp.where(c_mask, ang, 0.0), axis=1)
     return min_a, max_a
-
-
-def _point_minmax_with_subst(points, cell_ctrs, td, s1_coords, s2_ids,
-                             s2_coords, chunk=None, fc_base=None):
-    """Min/max face angle over each point's edges, moving the point to
-    ``s1_coords`` and optionally its neighbour ``s2_ids`` to
-    ``s2_coords`` (vectorized calcMinMaxFaceAngleForPoint,
-    reference src/smoothMesh.C:1276-1308).
-
-    s1_coords: (N, 3); s2_ids: (N,) (-1 = none); s2_coords: (N, 3).
-    Returns (min (N,), max (N,)).
-    """
-    N = points.shape[0]
-
-    def eval_points(idx):
-        pe = td["point_edges"][idx]                     # (B, WE)
-        pe_mask = td["point_edges_mask"][idx]
-        B, WE = pe.shape
-        rep = lambda a: jnp.repeat(a, WE, axis=0)
-        min_e, max_e = face_angles_for_edges(
-            points, cell_ctrs, td, pe.reshape(-1),
-            rep(idx.astype(pe.dtype)), rep(s1_coords[idx]),
-            rep(s2_ids[idx]), rep(s2_coords[idx]), fc_base=fc_base,
-        )
-        min_e = min_e.reshape(B, WE)
-        max_e = max_e.reshape(B, WE)
-        min_p = jnp.min(jnp.where(pe_mask, min_e, TWO_PI), axis=1)
-        max_p = jnp.max(jnp.where(pe_mask, max_e, 0.0), axis=1)
-        return min_p, max_p
-
-    return _map_chunks(eval_points, N, chunk)
 
 
 def _map_chunks(fn, n, chunk):
@@ -281,7 +254,7 @@ def current_face_angles_per_point(points, cell_ctrs, td, chunk=None,
         return face_angles_for_edges(points, cell_ctrs, td,
                                      eidx.astype(td["edges"].dtype),
                                      no_id, zero, no_id, zero,
-                                     fc_base=base)
+                                     fc_base=base, with_subst=False)
 
     min_e, max_e = _map_chunks(eval_edges, E, chunk)
     # Padded edge rows (sharded stacked topologies) must not poison the
@@ -334,97 +307,242 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     # case costs just the per-edge pass above.
     N = points.shape[0]
     any_active = jnp.any(active)
-    K = min(chunk if chunk else 4096, N)
     pp = td["point_points"]                              # (N, WP)
     pp_mask = td["point_points_mask"]
     WP = pp.shape[1]
+    edges_arr = td["edges"]
+    E = edges_arr.shape[0]
 
+    # ---- edge-centric substituted evaluation ----
+    # Every (p, q, e) evaluation the reference performs has p as an
+    # endpoint of e.  So instead of gathering e's geometry once per
+    # (p, q) pair, each ACTIVE edge (an edge with an active endpoint)
+    # loads its geometry once and evaluates all 2*(WP+1) substitution
+    # combinations (endpoint side x neighbour slot, plus the self test)
+    # in registers — ~8x fewer gather rows than the point-centric form.
+    active_e = ((active[edges_arr[:, 0]] | active[edges_arr[:, 1]])
+                & td["edge_valid"])
+    ae_idx = jnp.nonzero(active_e, size=E, fill_value=0)[0]
+    n_active_e = jnp.sum(active_e)
     act_idx = jnp.nonzero(active, size=N, fill_value=0)[0]
     n_active = jnp.sum(active)
+    Ke = min(chunk if chunk else 4096, E)
+    Kp = min(chunk if chunk else 4096, N)
 
-    def minmax_for(idx, s1_coords_rows, s2_ids_rows, s2_coords_rows):
-        """Min/max over the edges of points ``idx`` with substitutions
-        given per row."""
-        pe = td["point_edges"][idx]                      # (K, WE)
-        pe_mask = td["point_edges_mask"][idx]
-        Krows, WE = pe.shape
-        min_e, max_e = face_angles_for_edges(
-            points, cell_ctrs, td, pe.reshape(-1),
-            jnp.repeat(idx.astype(pp.dtype), WE),
-            jnp.repeat(s1_coords_rows, WE, axis=0),
-            jnp.repeat(s2_ids_rows, WE),
-            jnp.repeat(s2_coords_rows, WE, axis=0),
-            fc_base=fc_base,
-        )
-        min_e = min_e.reshape(Krows, WE)
-        max_e = max_e.reshape(Krows, WE)
-        mn = jnp.min(jnp.where(pe_mask, min_e, TWO_PI), axis=1)
-        mx = jnp.max(jnp.where(pe_mask, max_e, 0.0), axis=1)
-        return mn, mx
-
-    def chunked_over_active(body_fn, init):
-        """while c*K < n_active: body_fn(idx_chunk, row_valid, carry)."""
+    def chunked(body_fn, init, idx_arr, n_valid, K):
         def cond(s):
             c, _ = s
-            return c * K < n_active
+            return c * K < n_valid
 
         def body(s):
             c, carry = s
             start = c * K
-            idx = jax.lax.dynamic_slice(act_idx, (start,), (K,))
-            rowv = (start + jnp.arange(K)) < n_active
+            idx = jax.lax.dynamic_slice(idx_arr, (start,), (K,))
+            rowv = (start + jnp.arange(K)) < n_valid
             return c + 1, body_fn(idx, rowv, carry)
 
         _, out = jax.lax.while_loop(cond, body, (jnp.asarray(0), init))
         return out
 
-    # --- self test: p moves alone (reference :1379-1400) ---
-    def self_chunk(idx, rowv, frozen):
-        no_id = jnp.full(idx.shape, -1, dtype=td["edges"].dtype)
-        mn, mx = minmax_for(idx, proposed[idx], no_id,
-                            jnp.zeros((idx.shape[0], 3), dtype=dtype))
-        det = (
-            ((mn < min_angle_rad) & (mn < cur_min_p[idx]))
-            | ((mx > max_angle_rad) & (mx > cur_max_p[idx]))
-        )
-        det &= rowv & moving[idx] & ~frozen[idx]
-        tgt = jnp.where(det, idx, N)
-        return frozen.at[tgt].set(True, mode="drop")
+    # Transposed coordinate tables: all per-chunk work below runs on
+    # dense (K,) vectors (TPU tiles pad the last two dims to (8,128);
+    # (K, 4, 3)-shaped intermediates inside the while body waste ~40x
+    # memory and dominated the profile).
+    points_T = points.T
+    proposed_T = proposed.T
+    fcb_T = fc_base.T
+    cc_T = cell_ctrs.T
+    WF = td["edge_faces"].shape[1]
+    WC = td["edge_cells"].shape[1]
+    WPf = td["face_points"].shape[1]
 
-    # --- neighbour fixed point (reference :1402-1433) ---
-    def pair_chunk(idx, rowv, state):
-        frozen_cur, changed = state
-        eff_idx = jnp.where(frozen_cur[idx, None], points[idx],
-                            proposed[idx])               # (K, 3)
-        b_pp = pp[idx]                                   # (K, WP)
-        flat_q = b_pp.reshape(-1)
-        rep_idx = jnp.repeat(idx, WP)
-        rep_eff = jnp.repeat(eff_idx, WP, axis=0)
-        mn, mx = minmax_for(rep_idx, rep_eff, flat_q, proposed[flat_q])
-        mn = mn.reshape(-1, WP)
-        mx = mx.reshape(-1, WP)
-        bad = (
-            ((mn < min_angle_rad) & (mn < cur_min_p[idx][:, None]))
-            | ((mx > max_angle_rad) & (mx > cur_max_p[idx][:, None]))
-        )
+    def eval_edges_chunk(frozen_cur, eidx, rowv, bufs, t_slots):
+        minbufs, maxbufs = bufs                          # tuples of (2E,)
+        ep = [edges_arr[:, s][eidx] for s in (0, 1)]     # 2 x (K,)
+        cur_ep = [[points_T[c, ep[s]] for c in range(3)] for s in (0, 1)]
+        frz = [frozen_cur[ep[s]] for s in (0, 1)]
+        eff_ep = [[jnp.where(frz[s], cur_ep[s][c],
+                             proposed_T[c, ep[s]]) for c in range(3)]
+                  for s in (0, 1)]
+        fids = [td["edge_faces"][:, w][eidx] for w in range(WF)]
+        f_n = [td["face_npoints"][fids[w]].astype(dtype) for w in range(WF)]
+        inv_fn = [1.0 / jnp.maximum(f_n[w], 1.0) for w in range(WF)]
+        fc0 = [[fcb_T[c, fids[w]] for c in range(3)] for w in range(WF)]
+        fp_ids = [[td["face_points"][:, j][fids[w]] for j in range(WPf)]
+                  for w in range(WF)]
+        fp_mask = [[td["face_mask"][:, j][fids[w]] for j in range(WPf)]
+                   for w in range(WF)]
+        cids = [td["edge_cells"][:, u][eidx] for u in range(WC)]
+        c_mask = [td["edge_cells_mask"][:, u][eidx] for u in range(WC)]
+        cc = [[cc_T[c, cids[u]] for c in range(3)] for u in range(WC)]
+        f0 = [td["edge_cell_f0"][:, u][eidx] for u in range(WC)]
+        f1 = [td["edge_cell_f1"][:, u][eidx] for u in range(WC)]
+        q_all = [[pp[:, t][ep[s]] for t in range(WP)] for s in (0, 1)]
+        q_ok_all = [[pp_mask[:, t][ep[s]] for t in range(WP)]
+                    for s in (0, 1)]
+
+        def dot3(a, b):
+            return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+        out_mn = list(minbufs)
+        out_mx = list(maxbufs)
+        for s in (0, 1):
+            p_eff = eff_ep[s]
+            cur_p = cur_ep[s]
+            other = 1 - s
+            dp = [p_eff[c] - cur_p[c] for c in range(3)]
+            for ti, t in enumerate(t_slots):
+                if t < WP:
+                    q_id = q_all[s][t]
+                    q_ok = q_ok_all[s][t]
+                    q_c = [proposed_T[c, q_id] for c in range(3)]
+                    cur_q = [points_T[c, q_id] for c in range(3)]
+                    dq = [jnp.where(q_ok, q_c[c] - cur_q[c], 0.0)
+                          for c in range(3)]
+                else:  # self test: no neighbour substitution
+                    q_id = None
+                    q_ok = None
+                    q_c = None
+                    dq = None
+                # endpoints with substitution (q may be the other
+                # endpoint; q is never p)
+                if q_id is not None:
+                    q_is_other = q_ok & (q_id == ep[other])
+                    end_o = [jnp.where(q_is_other, q_c[c],
+                                       cur_ep[other][c]) for c in range(3)]
+                else:
+                    end_o = cur_ep[other]
+                e0c = p_eff if s == 0 else end_o
+                e1c = end_o if s == 0 else p_eff
+                c_ctr = [0.5 * (e0c[c] + e1c[c]) for c in range(3)]
+                ev = [e1c[c] - e0c[c] for c in range(3)]
+                ev_n = jnp.maximum(jnp.sqrt(dot3(ev, ev)), VSMALL)
+                ev = [ev[c] / ev_n for c in range(3)]
+
+                def proj_unit(x):
+                    # x: 3 x (K,) -> unit vector from c_ctr in the
+                    # edge-normal plane
+                    cf = [c_ctr[c] - x[c] for c in range(3)]
+                    dt = dot3(cf, ev)
+                    d = [x[c] + dt * ev[c] - c_ctr[c] for c in range(3)]
+                    dn = jnp.maximum(jnp.sqrt(dot3(d, d)), VSMALL)
+                    return [d[c] / dn for c in range(3)]
+
+                pv = []
+                for w in range(WF):
+                    if q_id is not None:
+                        in_q = jnp.zeros_like(q_ok)
+                        for j in range(WPf):
+                            in_q = in_q | ((fp_ids[w][j] == q_id)
+                                           & fp_mask[w][j])
+                        in_q = (in_q & q_ok).astype(dtype) * inv_fn[w]
+                        fc = [fc0[w][c] + dp[c] * inv_fn[w]
+                              + in_q * dq[c] for c in range(3)]
+                    else:
+                        fc = [fc0[w][c] + dp[c] * inv_fn[w]
+                              for c in range(3)]
+                    pv.append(proj_unit(fc))
+
+                mn_t = jnp.full_like(c_ctr[0], TWO_PI)
+                mx_t = jnp.zeros_like(c_ctr[0])
+                for u in range(WC):
+                    cv = proj_unit(cc[u])
+                    p0 = [sum(jnp.where(f0[u] == w, pv[w][c], 0.0)
+                              for w in range(WF)) for c in range(3)]
+                    p1 = [sum(jnp.where(f1[u] == w, pv[w][c], 0.0)
+                              for w in range(WF)) for c in range(3)]
+                    ang = _acos_c(dot3(p0, cv)) + _acos_c(dot3(cv, p1))
+                    mn_t = jnp.where(c_mask[u], jnp.minimum(mn_t, ang),
+                                     mn_t)
+                    mx_t = jnp.where(c_mask[u], jnp.maximum(mx_t, ang),
+                                     mx_t)
+
+                # buffers are per-t arrays over (2E,): write side-s rows
+                tgt = jnp.where(rowv, s * E + eidx, 2 * E)
+                out_mn[ti] = out_mn[ti].at[tgt].set(mn_t, mode="drop")
+                out_mx[ti] = out_mx[ti].at[tgt].set(mx_t, mode="drop")
+        return tuple(out_mn), tuple(out_mx)
+
+    def _point_minmax_from_bufs(idx, minbufs, maxbufs):
+        pe = td["point_edges"][idx]                      # (Kp, WE)
+        pside = td["point_edges_side"][idx]
+        pmask = td["point_edges_mask"][idx]
+        flat = pside * E + pe                            # (Kp, WE)
+        WE = pe.shape[1]
+        T = len(minbufs)
+        det = []
+        for t in range(T):
+            mn_t = jnp.full(idx.shape, TWO_PI, dtype=dtype)
+            mx_t = jnp.zeros(idx.shape, dtype=dtype)
+            for w in range(WE):
+                v_mn = minbufs[t][flat[:, w]]
+                v_mx = maxbufs[t][flat[:, w]]
+                ok = pmask[:, w]
+                mn_t = jnp.where(ok, jnp.minimum(mn_t, v_mn), mn_t)
+                mx_t = jnp.where(ok, jnp.maximum(mx_t, v_mx), mx_t)
+            det.append(
+                ((mn_t < min_angle_rad) & (mn_t < cur_min_p[idx]))
+                | ((mx_t > max_angle_rad) & (mx_t > cur_max_p[idx]))
+            )
+        return jnp.stack(det, axis=1)                    # (Kp, T)
+
+    # Phase 1 — self tests run to completion FIRST: the reference's
+    # stack performs each point's self test before its pair evals, so a
+    # self-frozen point's pair evaluations always see it at its current
+    # coordinates (src/smoothMesh.C:1379-1400 before :1402-1433).
+    def self_agg_chunk(idx, rowv, state):
+        frozen_cur, minbuf, maxbuf = state
+        det = _point_minmax_from_bufs(idx, minbuf, maxbuf)[:, 0]
+        self_det = det & rowv & moving[idx] & ~frozen_cur[idx]
+        new_frozen = frozen_cur.at[
+            jnp.where(self_det, idx, N)].set(True, mode="drop")
+        return new_frozen, minbuf, maxbuf
+
+    # Phase 2 — pair sweeps to a fixed point
+    def pair_agg_chunk(idx, rowv, state):
+        frozen_cur, changed, minbuf, maxbuf = state
+        det = _point_minmax_from_bufs(idx, minbuf, maxbuf)
+        det &= rowv[:, None]
+        b_pp = pp[idx]
         q_moving = moving[b_pp] & ~frozen_cur[b_pp]
-        bad &= pp_mask[idx] & rowv[:, None] & q_moving
-        tgt = jnp.where(bad, b_pp, N)
-        new_frozen = frozen_cur.at[tgt.reshape(-1)].set(True, mode="drop")
+        bad = det[:, :WP] & pp_mask[idx] & q_moving
+        new_frozen = frozen_cur.at[
+            jnp.where(bad, b_pp, N).reshape(-1)].set(True, mode="drop")
         changed = changed | jnp.any(bad)
-        return new_frozen, changed
+        return new_frozen, changed, minbuf, maxbuf
+
+    def _new_bufs(T):
+        mn = tuple(jnp.full((2 * E,), TWO_PI, dtype=dtype)
+                   for _ in range(T))
+        mx = tuple(jnp.zeros((2 * E,), dtype=dtype) for _ in range(T))
+        return mn, mx
+
+    def self_phase(frozen):
+        bufs = chunked(
+            lambda ei, rv, b: eval_edges_chunk(frozen, ei, rv, b, (WP,)),
+            _new_bufs(1), ae_idx, n_active_e, Ke)
+        frozen, _, _ = chunked(
+            self_agg_chunk, (frozen,) + bufs, act_idx, n_active, Kp)
+        return frozen
 
     def sweep_body(state):
         frozen_cur, _ = state
-        return chunked_over_active(pair_chunk, (frozen_cur,
-                                                jnp.asarray(False)))
+        bufs = chunked(
+            lambda ei, rv, b: eval_edges_chunk(frozen_cur, ei, rv, b,
+                                               tuple(range(WP))),
+            _new_bufs(WP), ae_idx, n_active_e, Ke)
+        frozen_new, changed, _, _ = chunked(
+            pair_agg_chunk,
+            (frozen_cur, jnp.asarray(False)) + bufs,
+            act_idx, n_active, Kp)
+        return frozen_new, changed
 
     def sweep_cond(state):
         _, changed = state
         return changed
 
     def run_all(frozen):
-        frozen = chunked_over_active(self_chunk, frozen)
+        frozen = self_phase(frozen)
         frozen, _ = jax.lax.while_loop(
             sweep_cond, sweep_body, (frozen, jnp.asarray(True)))
         return frozen

@@ -84,7 +84,7 @@ def quality_report(points, td) -> Dict[str, float]:
     zeros = jnp.zeros((E, 3), dtype=dtype)
     emin, emax = face_angles_for_edges(
         points, cell_ctrs, td, jnp.arange(E, dtype=td["edges"].dtype),
-        no_id, zeros, no_id, zeros)
+        no_id, zeros, no_id, zeros, with_subst=False)
 
     # Edge lengths
     ep = points[td["edges"]]
