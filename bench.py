@@ -78,6 +78,18 @@ def main() -> int:
     run_t = time.time() - t0
 
     updates_per_sec = n_points * ITERS / run_t
+
+    # Secondary BASELINE metric: iterations to relTol=0.02 (same
+    # residual definition as the reference, max |dx| / maxStepLength)
+    iters_to_tol = None
+    if os.environ.get("SMOOTHMESH_BENCH_CONVERGE", "1") == "1":
+        rr = r
+        extra = 0
+        while rr.residual >= 0.02 and extra < 500:
+            rr = sm.step()
+            extra += 1
+        if rr.residual < 0.02:
+            iters_to_tol = rr.iteration
     result = {
         "metric": "point_updates_per_sec_per_chip",
         "value": round(updates_per_sec, 1),
@@ -98,6 +110,7 @@ def main() -> int:
                 "run_s": round(run_t, 3),
                 "per_iter_ms": round(1e3 * run_t / ITERS, 2),
                 "final_residual": r.residual,
+                "iters_to_reltol_0.02": iters_to_tol,
                 "device": str(jax.devices()[0]),
             }
         }),

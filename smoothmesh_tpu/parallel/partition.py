@@ -143,13 +143,14 @@ def build_shards(mesh: PolyMesh, n_shards: int,
         touch = own_in | nei_in
         face_ids = np.where(touch)[0]
 
-        # Classify local faces
+        # Classify local faces: internal first, then real patches in
+        # patch order, processor faces last
         is_internal_local = own_in[face_ids] & nei_in[face_ids]
         is_proc = (face_ids < Fi) & ~is_internal_local
-        # Original boundary faces keep their patch; processor faces new
+        n_patches = len(mesh.patches)
         order = np.argsort(
             np.where(is_internal_local, 0,
-                     np.where(is_proc, 2 + face_patch[face_ids] * 0 + 1000,
+                     np.where(is_proc, 2 + n_patches,
                               1 + face_patch[face_ids])),
             kind="stable",
         )
