@@ -80,16 +80,22 @@ def main() -> int:
     updates_per_sec = n_points * ITERS / run_t
 
     # Secondary BASELINE metric: iterations to relTol=0.02 (same
-    # residual definition as the reference, max |dx| / maxStepLength)
+    # residual definition as the reference, max |dx| / maxStepLength).
+    # Identical update rule => iteration count parity with the
+    # reference by construction; large meshes need O(1000) iterations
+    # for the slowest diffusion mode (both codes), so the probe is
+    # capped and the residual actually reached is reported.
     iters_to_tol = None
-    if os.environ.get("SMOOTHMESH_BENCH_CONVERGE", "1") == "1":
-        rr = r
-        extra = 0
-        while rr.residual >= 0.02 and extra < 500:
-            rr = sm.step()
-            extra += 1
-        if rr.residual < 0.02:
-            iters_to_tol = rr.iteration
+    resid_after = r.residual
+    cap = int(os.environ.get("SMOOTHMESH_BENCH_CONVERGE_CAP", "100"))
+    rr = r
+    extra = 0
+    while rr.residual >= 0.02 and extra < cap:
+        rr = sm.step()
+        extra += 1
+    resid_after = rr.residual
+    if rr.residual < 0.02:
+        iters_to_tol = rr.iteration
     result = {
         "metric": "point_updates_per_sec_per_chip",
         "value": round(updates_per_sec, 1),
@@ -111,6 +117,7 @@ def main() -> int:
                 "per_iter_ms": round(1e3 * run_t / ITERS, 2),
                 "final_residual": r.residual,
                 "iters_to_reltol_0.02": iters_to_tol,
+                "residual_after_probe": resid_after,
                 "device": str(jax.devices()[0]),
             }
         }),

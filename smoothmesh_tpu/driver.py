@@ -161,10 +161,12 @@ def default_face_angle_chunk(topo) -> Optional[int]:
     # conservatively (measured: ~18 GB for 36k points unchunked => the
     # true footprint is ~0.5 MB/point on this hex topology).
     per_point = max(wp * we * wf * wfp * 3, 1)
-    budget = 1 << 25  # 32M nominal floats per active-point batch
+    budget = 1 << 27  # 128M nominal floats per active batch: the
+    # edge-centric evaluation works on dense (K,) vectors, so larger
+    # chunks mainly amortize while-loop iteration overhead
     if topo.n_points * per_point <= budget:
         return None
-    chunk = max(budget // per_point, 4096)
+    chunk = max(budget // per_point, 16384)
     return 1 << (chunk.bit_length() - 1)
 
 
