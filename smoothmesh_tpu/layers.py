@@ -28,7 +28,6 @@ Per-iteration (device):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

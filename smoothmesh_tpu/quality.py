@@ -12,7 +12,6 @@ src/smoothMesh.C:1478-1541) used for derived parameter defaults.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Dict
 
 import jax.numpy as jnp

@@ -168,3 +168,37 @@ def test_checkpoint_roundtrip_classification():
     assert np.array_equal(setup.is_feature_edge, setup2.is_feature_edge)
     assert np.allclose(setup.corner_targets[setup.is_corner],
                        setup2.corner_targets[setup2.is_corner])
+
+
+def test_reference_geometry_files_end_to_end_classification():
+    """Run string labeling and projection machinery on the REAL
+    reference testcase4 OBJ geometry (data only)."""
+    import os
+
+    base = "/root/reference/testcase4/constant/geometry"
+    if not os.path.isdir(base):
+        pytest.skip("reference fixtures unavailable")
+    from smoothmesh_tpu.io.obj import read_obj_edges, read_obj_surface
+
+    tv, te = read_obj_edges(os.path.join(base, "targetEdges.obj"))
+    sv, st = read_obj_surface(os.path.join(base, "targetSurfaces.obj"))
+    strings = bps.find_edge_strings(tv, te)
+    assert strings.min() >= 0
+    # the target edges form a small number of continuous strings
+    n_strings = len(set(strings.tolist()))
+    assert 1 <= n_strings <= 16
+    # project a surface vertex onto the edges: lands within the bbox
+    proj, ei, sid, vert = bps.find_closest_edge_info(
+        sv[0], tv, te, strings, -1, 1e-6)
+    assert np.isfinite(proj).all()
+    # ray cast against the real triangle soup
+    import jax.numpy as jnp
+
+    ta = jnp.asarray(sv[st[:, 0]])
+    tb = jnp.asarray(sv[st[:, 1]])
+    tc = jnp.asarray(sv[st[:, 2]])
+    centre = jnp.asarray(sv.mean(axis=0))[None, :]
+    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    tp, tn = bps.segment_triangle_hits(centre, d, 100.0, ta, tb, tc)
+    # from inside the closed surface, some direction must hit
+    assert np.isfinite(float(tp[0])) or np.isfinite(float(tn[0]))
