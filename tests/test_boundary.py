@@ -202,3 +202,31 @@ def test_reference_geometry_files_end_to_end_classification():
     tp, tn = bps.segment_triangle_hits(centre, d, 100.0, ta, tb, tc)
     # from inside the closed surface, some direction must hit
     assert np.isfinite(float(tp[0])) or np.isfinite(float(tn[0]))
+
+
+def test_pallas_raycast_matches_jnp():
+    """Experimental Pallas ray-cast kernel (interpret mode off-TPU)
+    agrees with the XLA path."""
+    from smoothmesh_tpu.ops.raycast import (pack_triangles,
+                                            segment_triangle_hits_pallas)
+
+    rng = np.random.default_rng(0)
+    T = 300
+    a = (rng.random((T, 3)) * 2).astype(np.float32)
+    b = a + (rng.random((T, 3)) * 0.5).astype(np.float32)
+    c = a + (rng.random((T, 3)) * 0.5).astype(np.float32)
+    B = 500
+    o = (rng.random((B, 3)) * 2).astype(np.float32)
+    d = rng.normal(size=(B, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    tpr, tnr = bps.segment_triangle_hits(
+        jnp.asarray(o), jnp.asarray(d), 10.0,
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(c))
+    tpp, tnp_ = segment_triangle_hits_pallas(
+        o, d, 10.0, jnp.asarray(pack_triangles(a, b, c)), T)
+    for ref, ours in ((tpr, tpp), (tnr, tnp_)):
+        x, y = np.asarray(ref), np.asarray(ours)
+        ok = ((~np.isfinite(x) & ~np.isfinite(y))
+              | np.isclose(x, y, rtol=1e-4, atol=1e-6))
+        assert ok.all()
