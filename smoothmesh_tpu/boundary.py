@@ -450,6 +450,23 @@ def project_boundary_points(points, proposal, normals, frozen, bd, td,
         blended = fcbf * cent + (1.0 - fcbf) * out
         out = jnp.where((~internal & is_smoothing)[:, None], blended, out)
 
+    # Pallas fast path: VMEM-resident triangle soup (10x+ faster than
+    # the XLA formulation on TPU; float32 only — f64 tests use the
+    # generic path below)
+    if bd.get("tri_packed") is not None and out.dtype == jnp.float32:
+        from smoothmesh_tpu.ops.raycast import segment_triangle_hits_pallas
+
+        tp, tn = segment_triangle_hits_pallas(
+            out, normals, max_dist, bd["tri_packed"], bd["n_tri"])
+        hit_p = out + tp[:, None] * normals
+        hit_n = out - tn[:, None] * normals
+        take_p = tp <= tn
+        hit = jnp.where(take_p[:, None], hit_p, hit_n)
+        has = jnp.isfinite(jnp.minimum(tp, tn))
+        out = jnp.where((free & has)[:, None], hit, out)
+        frozen = frozen | (free & ~has)
+        return out, frozen
+
     def cast(idx):
         o = out[idx]
         d = normals[idx]

@@ -327,8 +327,15 @@ class Smoother:
             "tri_b": jnp.asarray(t(setup.surf_tri_b), dtype=self.dtype),
             "tri_c": jnp.asarray(t(setup.surf_tri_c), dtype=self.dtype),
             "distance_tolerance": float(setup.distance_tolerance * s),
+            "n_tri": len(setup.surf_tri_a),
             "inner_map": jnp.asarray(maps.inner_map, dtype=jnp.int32),
         }
+        if self.dtype == jnp.float32:
+            from smoothmesh_tpu.ops.raycast import pack_triangles
+
+            self.bnd["tri_packed"] = jnp.asarray(pack_triangles(
+                t(setup.surf_tri_a), t(setup.surf_tri_b),
+                t(setup.surf_tri_c)))
         self.smoothing_surface = jnp.asarray(setup.is_smoothing_surface)
         self.do_boundary_smoothing = True
         self._step = jax.jit(self._build_step())
@@ -348,6 +355,7 @@ class Smoother:
         has_layer = self.layer is not None
         has_bnd = self.bnd is not None
         dist_tol = (self.bnd or {}).get("distance_tolerance", 0.0)
+        n_tri = (self.bnd or {}).get("n_tri", 0)
 
         # Topology and map arrays are jit *arguments*, not closure
         # constants: closed-over arrays embed as HLO literals, which
@@ -358,6 +366,7 @@ class Smoother:
             if has_bnd:
                 bnd = dict(bnd)
                 bnd["distance_tolerance"] = dist_tol
+                bnd["n_tri"] = n_tri
                 bnd_in = bnd
             else:
                 bnd_in = None
@@ -371,7 +380,7 @@ class Smoother:
         if self.bnd is None:
             return {}
         return {k: v for k, v in self.bnd.items()
-                if k != "distance_tolerance"}
+                if k not in ("distance_tolerance", "n_tri")}
 
     def step(self) -> StepResult:
         self._iteration += 1

@@ -42,20 +42,21 @@ def _kernel(o_ref, d_ref, tri_ref, lim_ref, tpos_ref, tneg_ref, *, n_tri):
     dy = d_ref[:, 1:2]
     dz = d_ref[:, 2:3]
 
-    n_tiles = tri_ref.shape[0] // TRI_TILE
+    n_tiles = tri_ref.shape[1] // TRI_TILE
 
     def body(k, carry):
         tpos, tneg = carry
-        tri = tri_ref[pl.ds(k * TRI_TILE, TRI_TILE), :]
-        ax = tri[:, 0][None, :]
-        ay = tri[:, 1][None, :]
-        az = tri[:, 2][None, :]
-        e1x = tri[:, 3][None, :]
-        e1y = tri[:, 4][None, :]
-        e1z = tri[:, 5][None, :]
-        e2x = tri[:, 6][None, :]
-        e2y = tri[:, 7][None, :]
-        e2z = tri[:, 8][None, :]
+        # tri_ref is (9, Tpad): component rows, triangles along lanes
+        sl = pl.ds(k * TRI_TILE, TRI_TILE)
+        ax = tri_ref[0:1, sl]
+        ay = tri_ref[1:2, sl]
+        az = tri_ref[2:3, sl]
+        e1x = tri_ref[3:4, sl]
+        e1y = tri_ref[4:5, sl]
+        e1z = tri_ref[5:6, sl]
+        e2x = tri_ref[6:7, sl]
+        e2y = tri_ref[7:8, sl]
+        e2z = tri_ref[8:9, sl]
 
         # p = d x e2
         px = dy * e2z - dz * e2y
@@ -81,17 +82,17 @@ def _kernel(o_ref, d_ref, tri_ref, lim_ref, tpos_ref, tneg_ref, *, n_tri):
         t = jnp.where(ok, t, inf)
         tpos = jnp.minimum(
             tpos, jnp.min(jnp.where((t >= 0) & (t <= max_dist), t, inf),
-                          axis=1))
+                          axis=1, keepdims=True))
         tneg = jnp.minimum(
             tneg, jnp.min(jnp.where((t < 0) & (t >= -max_dist), -t, inf),
-                          axis=1))
+                          axis=1, keepdims=True))
         return tpos, tneg
 
-    init = (jnp.full((o_ref.shape[0],), inf),
-            jnp.full((o_ref.shape[0],), inf))
+    init = (jnp.full((o_ref.shape[0], 1), inf),
+            jnp.full((o_ref.shape[0], 1), inf))
     tpos, tneg = lax.fori_loop(0, n_tiles, body, init)
-    tpos_ref[:, 0] = tpos
-    tneg_ref[:, 0] = tneg
+    tpos_ref[:, :] = tpos
+    tneg_ref[:, :] = tneg
 
 
 @functools.partial(jax.jit, static_argnames=("n_tri", "interpret"))
@@ -137,7 +138,7 @@ def pack_triangles(ta, tb, tc) -> np.ndarray:
     pad = (-T) % TRI_TILE
     if pad:
         packed = np.pad(packed, ((0, pad), (0, 0)))
-    return packed
+    return np.ascontiguousarray(packed.T)  # (9, Tpad): lanes = triangles
 
 
 def segment_triangle_hits_pallas(orig, direction, max_dist, tri_packed,

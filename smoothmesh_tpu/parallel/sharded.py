@@ -148,15 +148,18 @@ class ShardedSmoother:
         has_layer = self.layer is not None  # static
 
         REPLICATED = ("edge_a", "edge_b", "edge_strings", "tri_a", "tri_b",
-                      "tri_c")
+                      "tri_c", "tri_packed")
         has_bnd = do_boundary  # static
         if has_bnd:
             bnd_sh = {k: v for k, v in self.bnd.items()
-                      if k not in REPLICATED and k != "distance_tolerance"}
-            bnd_rep = {k: self.bnd[k] for k in REPLICATED}
+                      if k not in REPLICATED
+                      and k not in ("distance_tolerance", "n_tri")}
+            bnd_rep = {k: self.bnd[k] for k in REPLICATED
+                       if k in self.bnd}
             dist_tol = self.bnd["distance_tolerance"]
+            n_tri = self.bnd["n_tri"]
         else:
-            bnd_sh, bnd_rep, dist_tol = {}, {}, 0.0
+            bnd_sh, bnd_rep, dist_tol, n_tri = {}, {}, 0.0, 0
         bnd_sh_specs = {k: P("shard") for k in bnd_sh}
         bnd_rep_specs = {k: P() for k in bnd_rep}
 
@@ -172,6 +175,7 @@ class ShardedSmoother:
                 bnd_loc = {k: v[0] for k, v in bnd_sh_blk.items()}
                 bnd_loc.update(bnd_rep_blk)
                 bnd_loc["distance_tolerance"] = dist_tol
+                bnd_loc["n_tri"] = n_tri
             new_pts, new_norm, res, n_frozen = iteration_body(
                 points[0], smoothing_surface[0], normals[0],
                 {k: v[0] for k, v in td.items()},
@@ -337,7 +341,14 @@ class ShardedSmoother:
             "tri_b": put_rep(t(setup.surf_tri_b), self.dtype),
             "tri_c": put_rep(t(setup.surf_tri_c), self.dtype),
             "distance_tolerance": float(setup.distance_tolerance * s),
+            "n_tri": len(setup.surf_tri_a),
         }
+        if self.dtype == jnp.float32:
+            from smoothmesh_tpu.ops.raycast import pack_triangles
+
+            self.bnd["tri_packed"] = put_rep(pack_triangles(
+                t(setup.surf_tri_a), t(setup.surf_tri_b),
+                t(setup.surf_tri_c)))
         self.smoothing_surface = put(
             restrict_flags(setup.is_smoothing_surface))
         # normals state needs the propagated initial normals

@@ -230,3 +230,22 @@ def test_pallas_raycast_matches_jnp():
         ok = ((~np.isfinite(x) & ~np.isfinite(y))
               | np.isclose(x, y, rtol=1e-4, atol=1e-6))
         assert ok.all()
+
+
+def test_boundary_smoothing_float32_uses_pallas_path():
+    """f32 driver exercises the Pallas ray-cast path (interpret mode on
+    CPU) through the full boundary pipeline."""
+    m, dome_z, V, tris, bpts, bedges = _dome_fixture()
+    params = SmoothingParams(centroidal_iters=15, rel_tol=0.005,
+                             smoothing_patches=("top",), min_angle=15.0)
+    sm = Smoother(m, params, dtype=np.float32)
+    setup = sm.enable_boundary_smoothing(V, tris, bpts, bedges)
+    assert "tri_packed" in sm.bnd
+    sm.run(log=None)
+    out = sm.denormalize()
+    top = np.where(setup.is_smoothing_surface & ~setup.is_feature_edge
+                   & ~setup.is_corner)[0]
+    err = np.abs(out[top, 2] - dome_z(out[top, 0], out[top, 1]))
+    err0 = np.abs(m.points[top, 2]
+                  - dome_z(m.points[top, 0], m.points[top, 1]))
+    assert err.max() < 0.5 * err0.max()
