@@ -263,3 +263,111 @@ def perturb(mesh: PolyMesh, amplitude: float, seed: int = 0,
         patches=mesh.patches,
     )
     return out
+
+
+def prism_block(
+    n: Sequence[int] = (3, 3, 3),
+    p_min: Sequence[float] = (0.0, 0.0, 0.0),
+    p_max: Sequence[float] = (1.0, 1.0, 1.0),
+) -> PolyMesh:
+    """Triangular-prism mesh: each hex of a uniform block split in two
+    along the xy diagonal.  Produces mixed face sizes (triangles +
+    quads) and 5-faced cells — exercises the polyhedral paths that a
+    pure hex mesh cannot (ragged perimeters, 3-point faces, wedge
+    tables on triangles).
+    """
+    nx, ny, nz = (int(v) for v in n)
+    xs = np.linspace(p_min[0], p_max[0], nx + 1)
+    ys = np.linspace(p_min[1], p_max[1], ny + 1)
+    zs = np.linspace(p_min[2], p_max[2], nz + 1)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    pts = np.stack([X.ravel(order="F"), Y.ravel(order="F"),
+                    Z.ravel(order="F")], axis=1)
+
+    def P(i, j, k):
+        return i + (nx + 1) * (j + (ny + 1) * k)
+
+    def A(i, j, k):  # prism on the (a,b,c) side (b-c edge at x+)
+        return 2 * (i + nx * (j + ny * k))
+
+    def B(i, j, k):  # prism on the (a,c,d) side
+        return A(i, j, k) + 1
+
+    faces = []      # list of point tuples
+    owner = []
+    neighbour = []
+
+    for k in range(nz):
+        for j in range(ny):
+            for i in range(nx):
+                a0, b0 = P(i, j, k), P(i + 1, j, k)
+                c0, d0 = P(i + 1, j + 1, k), P(i, j + 1, k)
+                a1, b1 = P(i, j, k + 1), P(i + 1, j, k + 1)
+                c1, d1 = P(i + 1, j + 1, k + 1), P(i, j + 1, k + 1)
+                # diagonal quad between the two prisms (normal A -> B)
+                faces.append((a0, a1, c1, c0))
+                owner.append(A(i, j, k))
+                neighbour.append(B(i, j, k))
+                # x+ quad: A(i,j) -> B(i+1,j)
+                if i + 1 < nx:
+                    faces.append((b0, c0, c1, b1))
+                    owner.append(A(i, j, k))
+                    neighbour.append(B(i + 1, j, k))
+                # y+ quad: B(i,j) -> A(i,j+1)
+                if j + 1 < ny:
+                    faces.append((d0, d1, c1, c0))
+                    owner.append(B(i, j, k))
+                    neighbour.append(A(i, j + 1, k))
+                # z+ triangles: A -> A above, B -> B above
+                if k + 1 < nz:
+                    faces.append((a1, b1, c1))
+                    owner.append(A(i, j, k))
+                    neighbour.append(A(i, j, k + 1))
+                    faces.append((a1, c1, d1))
+                    owner.append(B(i, j, k))
+                    neighbour.append(B(i, j, k + 1))
+
+    n_internal = len(faces)
+    start = n_internal
+
+    # single boundary patch covering all sides, outward normals
+    for k in range(nz):
+        for j in range(ny):
+            faces.append((P(0, j, k), P(0, j, k + 1),
+                          P(0, j + 1, k + 1), P(0, j + 1, k)))
+            owner.append(B(0, j, k))
+            faces.append((P(nx, j, k), P(nx, j + 1, k),
+                          P(nx, j + 1, k + 1), P(nx, j, k + 1)))
+            owner.append(A(nx - 1, j, k))
+    for k in range(nz):
+        for i in range(nx):
+            faces.append((P(i, 0, k), P(i + 1, 0, k),
+                          P(i + 1, 0, k + 1), P(i, 0, k + 1)))
+            owner.append(A(i, 0, k))
+            faces.append((P(i, ny, k), P(i, ny, k + 1),
+                          P(i + 1, ny, k + 1), P(i + 1, ny, k)))
+            owner.append(B(i, ny - 1, k))
+    for j in range(ny):
+        for i in range(nx):
+            faces.append((P(i, j, 0), P(i + 1, j + 1, 0), P(i + 1, j, 0)))
+            owner.append(A(i, j, 0))
+            faces.append((P(i, j, 0), P(i, j + 1, 0), P(i + 1, j + 1, 0)))
+            owner.append(B(i, j, 0))
+            faces.append((P(i, j, nz), P(i + 1, j, nz),
+                          P(i + 1, j + 1, nz)))
+            owner.append(A(i, j, nz - 1))
+            faces.append((P(i, j, nz), P(i + 1, j + 1, nz),
+                          P(i, j + 1, nz)))
+            owner.append(B(i, j, nz - 1))
+
+    patch = Patch(name="walls", type="wall",
+                  n_faces=len(faces) - start, start_face=start)
+    face_flat = np.array([p for f in faces for p in f], dtype=np.int64)
+    offsets = np.zeros(len(faces) + 1, dtype=np.int64)
+    np.cumsum([len(f) for f in faces], out=offsets[1:])
+    mesh = PolyMesh(points=pts, face_flat=face_flat, face_offsets=offsets,
+                    owner=np.array(owner, dtype=np.int64),
+                    neighbour=np.array(neighbour, dtype=np.int64),
+                    patches=[patch])
+    mesh.validate()
+    return mesh

@@ -173,3 +173,100 @@ def test_debug_stl_export(tmp_path, setup):
     text = (tmp_path / "e.stl").read_text()
     assert text.count("facet") == 4  # 2 facet + 2 endfacet
     assert text.startswith("solid")
+
+
+@pytest.fixture(scope="module")
+def prism_setup():
+    from smoothmesh_tpu.mesh.blockmesh import prism_block
+
+    m = prism_block(n=(4, 3, 3))
+    rng = np.random.default_rng(21)
+    disp = rng.uniform(-0.02, 0.02, m.points.shape)
+    from smoothmesh_tpu.mesh.topology import boundary_point_mask
+
+    disp[boundary_point_mask(m)] = 0
+    m.points = m.points + disp
+    t = compile_topology(m)
+    td = to_device(t)
+    pts = jnp.asarray(m.points)
+    ctrs = geo.cell_centres(pts, td)
+    return m, t, td, pts, ctrs
+
+
+def test_prism_mesh_all_kernels_match_oracle(prism_setup):
+    """Mixed tri+quad faces and 5-faced prisms through every kernel —
+    the polyhedral (non-hex) code path the reference supports."""
+    m, t, td, pts, ctrs = prism_setup
+    cent = centroidal_smoothing(pts, ctrs, td, do_boundary_smoothing=False)
+    ref_c = oracle.centroidal(t, m.points, np.asarray(ctrs), False)
+    assert np.allclose(np.asarray(cent), ref_c, atol=1e-12)
+
+    ar = aspect_ratio_smoothing(pts, cent, td)
+    ref_ar = oracle.closest_points_blend(t, m.points, np.asarray(cent))
+    assert np.allclose(np.asarray(ar), ref_ar, atol=1e-12)
+
+    prop = constrain_max_step_length(pts, ar, 0.05, 0.5)
+    fr0 = jnp.zeros(t.n_points, dtype=bool)
+
+    ours = restrict_edge_shortening(pts, prop, td, 0.2, False, fr0)
+    ref = oracle.edge_shortening_freeze(t, m.points, np.asarray(prop),
+                                        0.2, False,
+                                        np.zeros(t.n_points, bool))
+    assert np.array_equal(np.asarray(ours), ref)
+
+    ours = restrict_min_edge_angle_decrease(pts, prop, td,
+                                            np.deg2rad(44.0), fr0)
+    ref = oracle.edge_angle_freeze(t, m.points, np.asarray(prop), 44.0,
+                                   np.zeros(t.n_points, bool))
+    assert np.array_equal(np.asarray(ours), ref)
+    assert ref.any()  # prism diagonals sit near 45 deg
+
+    ours = restrict_face_angle_deterioration(
+        pts, ctrs, prop, td, np.deg2rad(50.0), np.deg2rad(130.0), fr0)
+    ref = oracle.face_angle_freeze(t, m.points, np.asarray(ctrs),
+                                   np.asarray(prop), 50.0, 130.0,
+                                   np.zeros(t.n_points, bool))
+    assert ref.any()
+    # Freeze decisions may differ only at exact numerical ties: the
+    # kernel computes substituted face centres as corrections on the
+    # base means (mathematically equal, ULP-different), and the
+    # reference's strict < comparisons are equally arbitrary at a tie.
+    diff = np.where(np.asarray(ours) != ref)[0]
+    from smoothmesh_tpu.ops.constraints import (
+        current_face_angles_per_point, simple_face_centres)
+
+    fc_base = simple_face_centres(pts, td)
+    cmn, cmx = current_face_angles_per_point(pts, ctrs, td,
+                                             fc_base=fc_base)
+    small, large = np.deg2rad(50.0), np.deg2rad(130.0)
+    prop_np = np.asarray(prop)
+    ctrs_np = np.asarray(ctrs)
+    for q in diff:
+        # a near-tie must exist among the oracle evaluations that could
+        # freeze q (its own self test or a pair test from a neighbour)
+        margins = []
+        mn, mx = oracle._minmax_face_angle_point(
+            t, m.points, ctrs_np, int(q), {int(q): prop_np[q]})
+        margins += [abs(mn - small), abs(mn - float(cmn[q])),
+                    abs(mx - large), abs(mx - float(cmx[q]))]
+        for x in t.point_points[q][t.point_points_mask[q]]:
+            for xc in (prop_np[x], m.points[x]):
+                mn, mx = oracle._minmax_face_angle_point(
+                    t, m.points, ctrs_np, int(x),
+                    {int(x): xc, int(q): prop_np[q]})
+                margins += [abs(mn - small), abs(mn - float(cmn[x])),
+                            abs(mx - large), abs(mx - float(cmx[x]))]
+        assert min(margins) < 1e-9, (q, min(margins))
+
+
+def test_prism_mesh_smooths_validly(prism_setup):
+    from smoothmesh_tpu.driver import Smoother
+    from smoothmesh_tpu.params import SmoothingParams
+    from smoothmesh_tpu.quality import check_mesh
+
+    m, t, td, pts, ctrs = prism_setup
+    sm = Smoother(m, SmoothingParams(centroidal_iters=30, min_angle=30.0))
+    r = sm.run(log=None)
+    assert np.isfinite(r.residual)
+    rep = check_mesh(jnp.asarray(sm.points), sm.td)
+    assert rep["n_negative_volumes"] == 0
