@@ -165,3 +165,45 @@ int64_t parse_face_tokens(const char* text, int64_t len,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// For each (edge, cell-slot): find the two faces of the edge belonging
+// to that cell (replaces the numpy membership-matrix construction).
+// Inputs are padded row-major arrays; returns 0 on success, -1 if any
+// valid (edge, cell) has != 2 adjacent faces (mesh sanity violation,
+// reference findCellFacePair src/smoothMesh.C:1042-1097).
+int64_t edge_cell_face_pairs(
+    const int64_t* edge_faces, const uint8_t* ef_mask,
+    const int64_t* edge_cells, const uint8_t* ec_mask,
+    const int64_t* owner, const int64_t* neighbour /* -1 if none */,
+    int64_t n_edges, int64_t wc, int64_t wf,
+    int64_t* f0, int64_t* f1) {
+    for (int64_t e = 0; e < n_edges; ++e) {
+        const int64_t* ef = edge_faces + e * wf;
+        const uint8_t* em = ef_mask + e * wf;
+        const int64_t* ec = edge_cells + e * wc;
+        const uint8_t* cm = ec_mask + e * wc;
+        for (int64_t u = 0; u < wc; ++u) {
+            int64_t a = 0, b = 0, cnt = 0;
+            if (cm[u]) {
+                const int64_t cell = ec[u];
+                for (int64_t w = 0; w < wf; ++w) {
+                    if (!em[w]) continue;
+                    const int64_t f = ef[w];
+                    if (owner[f] == cell || neighbour[f] == cell) {
+                        if (cnt == 0) a = w;
+                        else if (cnt == 1) b = w;
+                        ++cnt;
+                    }
+                }
+                if (cnt != 2) return -1;
+            }
+            f0[e * wc + u] = a;
+            f1[e * wc + u] = b;
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -248,27 +248,38 @@ def compile_topology(mesh: PolyMesh, use_native: bool = True) -> MeshTopology:
     ec_e = np.concatenate([edge_of_pair, edge_of_pair[has_neighbour[face_of_entry]]])
     ec_c = np.concatenate([owner[face_of_entry],
                            neighbour_full[face_of_entry][has_neighbour[face_of_entry]]])
-    ec_mask, edge_cells = pad_groups(ec_e, E, ec_c, dedupe_key=ec_c)
+    if native_mod is not None:
+        ec_mask, edge_cells = native_mod.pad_groups_native(
+            ec_e, E, ec_c, dedupe=True)
+    else:
+        ec_mask, edge_cells = pad_groups(ec_e, E, ec_c, dedupe_key=ec_c)
 
     # Per-edge per-cell face pair slots (replaces findCellFacePair)
-    f_owner = owner[edge_faces]                      # (E, maxEF)
-    f_neigh = neighbour_full[edge_faces]
-    # membership[e, c, f]: face f of edge e belongs to cell slot c
-    member = (
-        (edge_cells[:, :, None] == f_owner[:, None, :])
-        | (edge_cells[:, :, None] == f_neigh[:, None, :])
-    )
-    member &= ec_mask[:, :, None] & ef_mask[:, None, :]
-    n_member = member.sum(axis=2)
-    if np.any(n_member[ec_mask] != 2):
-        bad = np.argwhere((n_member != 2) & ec_mask)
-        raise ValueError(
-            f"mesh sanity: edge/cell with != 2 adjacent edge-faces: {bad[:5]}"
+    pairs = (native_mod.edge_cell_face_pairs(
+        edge_faces, ef_mask, edge_cells, ec_mask, owner, neighbour_full)
+        if native_mod is not None else None)
+    if pairs is not None:
+        edge_cell_f0, edge_cell_f1 = pairs
+    else:
+        f_owner = owner[edge_faces]                  # (E, maxEF)
+        f_neigh = neighbour_full[edge_faces]
+        # membership[e, c, f]: face f of edge e belongs to cell slot c
+        member = (
+            (edge_cells[:, :, None] == f_owner[:, None, :])
+            | (edge_cells[:, :, None] == f_neigh[:, None, :])
         )
-    edge_cell_f0 = member.argmax(axis=2)
-    member2 = member.copy()
-    np.put_along_axis(member2, edge_cell_f0[:, :, None], False, axis=2)
-    edge_cell_f1 = member2.argmax(axis=2)
+        member &= ec_mask[:, :, None] & ef_mask[:, None, :]
+        n_member = member.sum(axis=2)
+        if np.any(n_member[ec_mask] != 2):
+            bad = np.argwhere((n_member != 2) & ec_mask)
+            raise ValueError(
+                "mesh sanity: edge/cell with != 2 adjacent edge-faces: "
+                f"{bad[:5]}"
+            )
+        edge_cell_f0 = member.argmax(axis=2)
+        member2 = member.copy()
+        np.put_along_axis(member2, edge_cell_f0[:, :, None], False, axis=2)
+        edge_cell_f1 = member2.argmax(axis=2)
 
     # point adjacency
     pp_mask, point_points = pad_groups(

@@ -53,6 +53,11 @@ def _lib() -> Optional[ctypes.CDLL]:
                                i64p, i64p, u8p]
     lib.group_fill_dedup.restype = None
     lib.group_fill_dedup.argtypes = lib.group_fill.argtypes
+    lib.edge_cell_face_pairs.restype = ctypes.c_int64
+    lib.edge_cell_face_pairs.argtypes = [i64p, u8p, i64p, u8p, i64p,
+                                         i64p, ctypes.c_int64,
+                                         ctypes.c_int64, ctypes.c_int64,
+                                         i64p, i64p]
     _LIB = lib
     return _LIB
 
@@ -116,3 +121,32 @@ def pad_groups_native(keys: np.ndarray, nrows: int, vals: np.ndarray,
     # trim over-wide dedup output
     used = int(cursor.max(initial=0)) if dedupe else width
     return mask[:, :used].astype(bool), out[:, :used]
+
+
+def edge_cell_face_pairs(edge_faces, ef_mask, edge_cells, ec_mask,
+                         owner, neighbour_full):
+    """Per-(edge, cell) face-pair slots, or None without the library.
+
+    ``neighbour_full`` has -1 for boundary faces.  Raises ValueError on
+    the reference's findCellFacePair sanity violation.
+    """
+    lib = _lib()
+    if lib is None:
+        return None
+    edge_faces = np.ascontiguousarray(edge_faces, dtype=np.int64)
+    ef_mask = np.ascontiguousarray(ef_mask, dtype=np.uint8)
+    edge_cells = np.ascontiguousarray(edge_cells, dtype=np.int64)
+    ec_mask = np.ascontiguousarray(ec_mask, dtype=np.uint8)
+    owner = np.ascontiguousarray(owner, dtype=np.int64)
+    neighbour_full = np.ascontiguousarray(neighbour_full, dtype=np.int64)
+    E, wf = edge_faces.shape
+    wc = edge_cells.shape[1]
+    f0 = np.zeros((E, wc), dtype=np.int64)
+    f1 = np.zeros((E, wc), dtype=np.int64)
+    rc = lib.edge_cell_face_pairs(
+        _p64(edge_faces), _pu8(ef_mask), _p64(edge_cells), _pu8(ec_mask),
+        _p64(owner), _p64(neighbour_full), E, wc, wf, _p64(f0), _p64(f1))
+    if rc != 0:
+        raise ValueError(
+            "mesh sanity: edge/cell with != 2 adjacent edge-faces")
+    return f0, f1
