@@ -58,3 +58,18 @@ def test_reference_fixture_objs_parse():
     assert len(v) > 100 and len(t) > 300  # 318 quads -> 636 tris
     v2, e = read_obj_edges(os.path.join(base, "initEdges.obj"))
     assert len(e) == 80
+
+
+def test_write_precision_at_tiny_scale(tmp_path):
+    """testcase8-style 1e-8 absolute scale: the >=10-significant-digit
+    write (reference src/smoothMesh.C:2425) must preserve relative
+    precision through a round-trip."""
+    mesh = hex_block(n=(2, 2, 2), scale=1e-8)
+    rng = np.random.default_rng(1)
+    mesh.points = mesh.points + rng.uniform(-1e-10, 1e-10,
+                                            mesh.points.shape)
+    d = str(tmp_path / "pm")
+    write_polymesh(d, mesh)
+    back = read_polymesh(d)
+    rel = np.abs(back.points - mesh.points) / 1e-8
+    assert rel.max() < 1e-8  # 10 significant digits preserved
