@@ -413,9 +413,15 @@ def project_boundary_points(points, proposal, normals, frozen, bd, td,
       sharp edge -> freeze
       free smoothing-surface -> ray-cast snap along +-normal
 
-    Returns (new proposal, frozen).  Points whose ray cast finds no hit
-    are frozen in place (the reference aborts; freezing is the
-    shard-safe equivalent — documented deviation).
+    Returns (new proposal, frozen, no_hit): ``no_hit`` marks free
+    smoothing-surface points whose ray cast found no intersection.
+    The reference retries with 4 exponentially growing search radii and
+    aborts on final miss (bPS.C:909-940); a single search at the final
+    radius is result-equivalent whenever a hit exists (the nearest hit
+    within a smaller radius is also the overall nearest hit), so only
+    the failure handling differs — the driver raises on
+    ``no_hit`` by default (params.ray_miss_fatal) and can instead
+    freeze the points in place (shard-safe degradation).
     """
     sums, counts = feature_edge_projections(points, bd, sync=sync)
 
@@ -465,7 +471,7 @@ def project_boundary_points(points, proposal, normals, frozen, bd, td,
         has = jnp.isfinite(jnp.minimum(tp, tn))
         out = jnp.where((free & has)[:, None], hit, out)
         frozen = frozen | (free & ~has)
-        return out, frozen
+        return out, frozen, free & ~has
 
     def cast(idx):
         o = out[idx]
@@ -499,4 +505,4 @@ def project_boundary_points(points, proposal, normals, frozen, bd, td,
 
     out = jnp.where((free & has)[:, None], hit, out)
     frozen = frozen | (free & ~has)
-    return out, frozen
+    return out, frozen, free & ~has

@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
       help="capture a JAX profiler trace of the smoothing loop")
     a("-checkMesh", "--checkMesh", action="store_true",
       help="print a checkMesh-style quality report after smoothing")
+    a("-allowRayMiss", "--allowRayMiss", action="store_true",
+      help="freeze boundary points whose surface-snap ray cast finds no "
+      "intersection instead of aborting (the reference aborts, "
+      "bPS.C:933-940)")
     return ap
 
 
@@ -121,6 +125,7 @@ def main(argv: Sequence[str] = None) -> int:
         internal_smoothing_blending_fraction=(
             args.internalSmoothingBlendingFraction),
         write_interval=args.writeInterval,
+        ray_miss_fatal=not args.allowRayMiss,
     )
 
     mesh = case.read_mesh(t0)

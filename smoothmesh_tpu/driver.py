@@ -52,6 +52,16 @@ class StepResult:
     residual: float
     n_frozen: int
     wall_ms: float = 0.0
+    n_ray_miss: int = 0
+
+
+RAY_MISS_MSG = (
+    "Did not find surface intersection for {n} smoothing-surface "
+    "point(s) within the maximum search distance — the targetSurfaces "
+    "geometry likely does not cover the mesh boundary (reference "
+    "bPS.C:933-940 aborts here).  Set ray_miss_fatal=False / "
+    "-allowRayMiss to freeze such points in place instead."
+)
 
 
 def iteration_body(points, smoothing_surface, normals_state, td,
@@ -105,6 +115,7 @@ def iteration_body(points, smoothing_surface, normals_state, td,
         prop = constrain_max_step_length(points, prop, max_step,
                                          p.rel_step_frac)
 
+    n_ray_miss = jnp.asarray(0, jnp.int32)
     if bnd is not None:
         # Boundary point smoothing (reference :2307-2356)
         from smoothmesh_tpu import boundary as bps
@@ -113,9 +124,10 @@ def iteration_body(points, smoothing_surface, normals_state, td,
         inner_coords = lay.update_neigh_coords(
             points, bnd["inner_map"], bnd["inner_map"] >= 0, big,
             sync=sync)
-        prop, frozen = bps.project_boundary_points(
+        prop, frozen, no_hit = bps.project_boundary_points(
             points, prop, normals_state, frozen, bnd, td, is_sharp,
             sync=sync, chunk=chunk)
+        n_ray_miss = jnp.sum(no_hit & td["point_valid"]).astype(jnp.int32)
         prop = lay.project_prismatic_boundary_points(
             prop, td, bnd, normals_state, inner_coords,
             bnd["is_feature_edge"], bnd["is_corner"], is_sharp,
@@ -142,7 +154,8 @@ def iteration_body(points, smoothing_surface, normals_state, td,
     res = calculate_residual(points, new_points, max_step, sync=sync)
     if sync is not None:
         n_frozen = sync.all_sum(n_frozen)
-    return new_points, normals_state, res, n_frozen
+        n_ray_miss = sync.all_sum(n_ray_miss)
+    return new_points, normals_state, res, n_frozen, n_ray_miss
 
 
 def default_face_angle_chunk(topo) -> Optional[int]:
@@ -183,17 +196,22 @@ class Smoother:
     normalize: internally rescale coordinates for dtype robustness.
     """
 
+    def __new__(cls, mesh, params, dtype=None, normalize=True, topo=None,
+                n_devices=1):
+        # ``Smoother(..., n_devices=8)`` delegates to the sharded
+        # driver (same surface API) instead of silently running
+        # single-chip.
+        if cls is Smoother and n_devices not in (1, None):
+            from smoothmesh_tpu.parallel.sharded import ShardedSmoother
+
+            return ShardedSmoother(mesh, params, n_devices=n_devices,
+                                   dtype=dtype, normalize=normalize)
+        return super().__new__(cls)
+
     def __init__(self, mesh: PolyMesh, params: SmoothingParams,
                  dtype=None, normalize: bool = True,
                  topo: Optional[MeshTopology] = None,
                  n_devices=1):
-        if n_devices not in (1, None):
-            # Multi-chip sharding arrives with smoothmesh_tpu.parallel;
-            # single-chip covers all current callers.
-            import warnings
-
-            warnings.warn("multi-device smoothing not wired yet; "
-                          "running single-chip")
         self.mesh = mesh
         self.topo = topo if topo is not None else compile_topology(mesh)
         self.td = to_device(self.topo)
@@ -385,14 +403,18 @@ class Smoother:
     def step(self) -> StepResult:
         self._iteration += 1
         t0 = time.time()
-        new_points, normals, res, n_frozen = self._step(
+        new_points, normals, res, n_frozen, n_miss = self._step(
             self.points, self.smoothing_surface, self.normals, self.td,
             self.layer or {}, self._bnd_arrays())
         res = float(res)  # host sync: completes the step
         wall = (time.time() - t0) * 1e3
+        n_miss = int(n_miss)
+        if n_miss and self.params.ray_miss_fatal:
+            raise RuntimeError(RAY_MISS_MSG.format(n=n_miss))
         self.points = new_points
         self.normals = normals
-        return StepResult(self._iteration, res, int(n_frozen), wall)
+        return StepResult(self._iteration, res, int(n_frozen), wall,
+                          n_miss)
 
     def run(self, log: Optional[Callable[[str], None]] = print,
             on_write: Optional[Callable[[int, np.ndarray], None]] = None,
@@ -431,9 +453,11 @@ class Smoother:
             result = self.step()
             iter_ms.append(result.wall_ms)
             if log:
+                miss = (f" nRayMisses={result.n_ray_miss} (frozen)"
+                        if result.n_ray_miss else "")
                 log(f"Smoothing iteration={result.iteration} "
                     f"nFrozenPoints={result.n_frozen} "
-                    f"residual={result.residual:.6g}")
+                    f"residual={result.residual:.6g}{miss}")
             stop = result.residual < p.rel_tol
             if stop and log:
                 log("Residual reached relTol, stopping.")

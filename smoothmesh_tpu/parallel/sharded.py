@@ -176,13 +176,13 @@ class ShardedSmoother:
                 bnd_loc.update(bnd_rep_blk)
                 bnd_loc["distance_tolerance"] = dist_tol
                 bnd_loc["n_tri"] = n_tri
-            new_pts, new_norm, res, n_frozen = iteration_body(
+            new_pts, new_norm, res, n_frozen, n_miss = iteration_body(
                 points[0], smoothing_surface[0], normals[0],
                 {k: v[0] for k, v in td.items()},
                 p, s, do_boundary, layer=layer_loc, bnd=bnd_loc,
                 sync=sync, chunk=chunk)
             return (new_pts[None], new_norm[None], res[None],
-                    n_frozen[None])
+                    n_frozen[None], n_miss[None])
 
         sm = jax.shard_map(
             local_step,
@@ -190,7 +190,8 @@ class ShardedSmoother:
             in_specs=(P("shard"), P("shard"), P("shard"), td_specs,
                       layer_specs, bnd_sh_specs, bnd_rep_specs,
                       P("shard"), P("shard"), P("shard")),
-            out_specs=(P("shard"), P("shard"), P("shard"), P("shard")),
+            out_specs=(P("shard"), P("shard"), P("shard"), P("shard"),
+                       P("shard")),
             check_vma=False,
         )
         self._bnd_args = (bnd_sh, bnd_rep)
@@ -198,17 +199,25 @@ class ShardedSmoother:
 
     def step(self) -> StepResult:
         self._iteration += 1
+        t0 = time.time()
         bnd_sh, bnd_rep = getattr(self, "_bnd_args", ({}, {}))
-        new_points, new_normals, res, n_frozen = self._step(
+        new_points, new_normals, res, n_frozen, n_miss = self._step(
             self.points, self.smoothing_surface, self.normals, self.td,
             self.layer if self.layer is not None else {},
             bnd_sh, bnd_rep,
             self.slot, self.valid, self.owner_is_me)
+        # Every shard already holds the global reductions; take shard 0
+        res = float(np.asarray(res)[0])  # host sync: completes the step
+        wall = (time.time() - t0) * 1e3
+        n_miss = int(np.asarray(n_miss)[0])
+        if n_miss and self.params.ray_miss_fatal:
+            from smoothmesh_tpu.driver import RAY_MISS_MSG
+
+            raise RuntimeError(RAY_MISS_MSG.format(n=n_miss))
         self.points = new_points
         self.normals = new_normals
-        # Every shard already holds the global reductions; take shard 0
-        return StepResult(self._iteration, float(np.asarray(res)[0]),
-                          int(np.asarray(n_frozen)[0]))
+        return StepResult(self._iteration, res,
+                          int(np.asarray(n_frozen)[0]), wall, n_miss)
 
     @property
     def topo(self):
@@ -377,9 +386,11 @@ class ShardedSmoother:
         p = self.params
         t0 = time.time()
         result = StepResult(0, float("inf"), 0)
+        iter_ms = []
         with ctx:
          for i in range(p.centroidal_iters):
             result = self.step()
+            iter_ms.append(result.wall_ms)
             if log:
                 log(f"Smoothing iteration={result.iteration} "
                     f"nFrozenPoints={result.n_frozen} "
@@ -393,5 +404,20 @@ class ShardedSmoother:
                     log("Residual reached relTol, stopping.")
                 break
         if log:
+            steady = iter_ms[1:] or iter_ms  # drop the compile iteration
+            if steady:
+                mean_ms = sum(steady) / len(steady)
+                rate = self.mesh_host.n_points / (mean_ms / 1e3)
+                log(f"Performance: {mean_ms:.1f} ms/iteration, "
+                    f"{rate:,.0f} point-updates/s "
+                    f"({self.shards.n_shards} shards)")
             log(f"ClockTime = {time.time() - t0:.1f} s.")
         return result
+
+    def quality(self) -> dict:
+        """checkMesh-equivalent report on the assembled global mesh."""
+        from smoothmesh_tpu.device import to_device
+
+        pts = jnp.asarray(self.denormalize())
+        td = to_device(self._global_topo)
+        return quality.quality_report(pts, td)

@@ -50,6 +50,13 @@ class SmoothingParams:
     smoothing_patches: Sequence[str] = (".*",)
     internal_smoothing_blending_fraction: float = 0.0
     write_interval: Optional[int] = None
+    # Ray-cast no-hit policy: the reference aborts with a diagnostic
+    # when a smoothing-surface point finds no targetSurfaces
+    # intersection within the maximum search radius (bPS.C:933-940) —
+    # that fatal is how users learn their surface doesn't cover the
+    # mesh.  False freezes the point in place instead (shard-safe
+    # degradation; still reported in the iteration log).
+    ray_miss_fatal: bool = True
 
     # Derived at resolve() time
     distance_tolerance: Optional[float] = None
