@@ -1,0 +1,411 @@
+"""The TPU select engine: span+ghost pools and in-kernel one-hot selects.
+
+Why this exists (round-2 measurements, experiments/gatherbench*.py):
+XLA's gather on TPU fetches one PADDED row (>= 512 B) per index —
+~220 M rows/s ceiling regardless of payload — and every hot kernel in
+the smoothing iteration is gather-bound (CLAUDE.md perf model).  The
+engine restructures each gather as:
+
+  1. HOST (static, per topology): consumers are processed in blocks of
+     KB contiguous entities of the spatially-reordered mesh
+     (mesh/tiling.permute_mesh).  Each block's source entities are
+     covered by [two aligned contiguous windows of the source array] +
+     [a small per-block list of scattered "ghost" entities].  Every
+     table entry gets a pool-local code = pool_row * 128 + lane.
+  2. DEVICE, per iteration: ghosts are gathered once per (stage, field)
+     with one plain XLA gather (ghost counts are a few % of the refs)
+     and handed to the kernel as a blocked input; span windows stream
+     in via prefetch-driven index_maps (contiguous, full-bandwidth).
+  3. IN KERNEL: pool = [windows | ghosts] in VMEM; entries are selected
+     by one-hot matmuls on the MXU (bf16 terms — 3 terms reproduce f32
+     exactly, since one-hot products select term values exactly) plus a
+     VPU masked lane-reduce.
+
+Field layout is PLANAR: (C, N_pad) — components on sublanes, entities
+on lanes.  Consumer-side arrays (codes, outputs) then map to native
+(W, KB)/(C, KB) blocks with no in-kernel relayouts; only the 40-row
+pool assembly reshapes/transposes (small).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LANES = 128
+KB = 2048                    # consumers per block (uniform, all stages)
+SPAN_UNIT = KB               # entities per span window == one block
+SPAN_ROWS = SPAN_UNIT // LANES
+N_WINDOWS = 2
+
+
+def pad_n(n: int) -> int:
+    """Padded entity count of a planar (C, N_pad) array."""
+    return -(-n // KB) * KB
+
+
+def planar_width(n: int) -> int:
+    """Planar column count: padded, and always >= the span coverage
+    (N_WINDOWS windows) so window fetches never run off the array."""
+    return max(pad_n(n), N_WINDOWS * SPAN_UNIT)
+
+
+# ---------------------------------------------------------------------------
+# Host-side pool compilation
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PoolSpec:
+    """Pool structure for one (consumer blocking, source array) pair."""
+
+    win: np.ndarray          # (nb,) int32 first span-window index
+    ghost_ids: np.ndarray    # (nb, n_ghost_rows*128) int32 source entity ids
+    n_ghost_rows: int
+    n_src: int
+
+    @property
+    def n_pool_rows(self) -> int:
+        return N_WINDOWS * SPAN_ROWS + self.n_ghost_rows
+
+
+@dataclasses.dataclass
+class TableCodes:
+    """Pool-local select codes for one padded (Nc, W) table: planar
+    (W, Nc_pad) int32, code = pool_row * 128 + lane."""
+
+    codes: np.ndarray
+    width: int
+
+
+def build_pool(n_consumers: int,
+               tables: Sequence[Tuple[np.ndarray, Optional[np.ndarray]]],
+               n_src: int,
+               ghost_row_cap: int = 64) -> Tuple[PoolSpec, List[TableCodes]]:
+    """Compute the shared pool + per-table codes for one source array.
+
+    ``tables``: (table, mask) pairs indexing the same source array;
+    they share the per-block pools (union of source sets).
+    """
+    nb = -(-n_consumers // KB)
+    Nc_pad = nb * KB
+
+    padded = []
+    for tab, mask in tables:
+        tab = np.asarray(tab, np.int64)
+        Nc, W = tab.shape
+        m = np.ones((Nc, W), bool) if mask is None else np.asarray(mask, bool)
+        if Nc < Nc_pad:
+            tab = np.pad(tab, ((0, Nc_pad - Nc), (0, 0)))
+            m = np.pad(m, ((0, Nc_pad - Nc), (0, 0)))
+        padded.append((tab, m & (tab >= 0)))
+
+    win = np.zeros(nb, dtype=np.int64)
+    ghost_lists: List[np.ndarray] = []
+    g_max = 0
+    max_win = max((n_src - 1) // SPAN_UNIT - (N_WINDOWS - 1), 0)
+    for b in range(nb):
+        sl = slice(b * KB, (b + 1) * KB)
+        srcs = np.concatenate([t[sl][m[sl]] for t, m in padded]) \
+            if padded else np.zeros(0, np.int64)
+        if not len(srcs):
+            ghost_lists.append(np.zeros(0, np.int64))
+            continue
+        w = min(max(int(np.median(srcs)) // SPAN_UNIT, 0), max_win)
+        best, best_cov = w, -1
+        for cand in (w - 1, w):
+            if cand < 0 or cand > max_win:
+                continue
+            lo, hi = cand * SPAN_UNIT, (cand + N_WINDOWS) * SPAN_UNIT
+            cov = int(np.count_nonzero((srcs >= lo) & (srcs < hi)))
+            if cov > best_cov:
+                best, best_cov = cand, cov
+        win[b] = best
+        lo, hi = best * SPAN_UNIT, (best + N_WINDOWS) * SPAN_UNIT
+        ghosts = np.unique(srcs[(srcs < lo) | (srcs >= hi)])
+        ghost_lists.append(ghosts)
+        g_max = max(g_max, len(ghosts))
+
+    n_ghost_rows = max(-(-g_max // LANES), 8)
+    n_ghost_rows = -(-n_ghost_rows // 8) * 8          # (8,128) tiles
+    if n_ghost_rows > ghost_row_cap:
+        raise ValueError(
+            f"pool needs {n_ghost_rows} ghost rows > cap {ghost_row_cap}; "
+            "mesh ordering lacks locality for this consumer blocking")
+    ghost_ids = np.zeros((nb, n_ghost_rows * LANES), dtype=np.int64)
+    for b, g in enumerate(ghost_lists):
+        ghost_ids[b, :len(g)] = g
+
+    pool = PoolSpec(win=win.astype(np.int32),
+                    ghost_ids=ghost_ids.astype(np.int32),
+                    n_ghost_rows=n_ghost_rows, n_src=n_src)
+
+    ghost_base = N_WINDOWS * SPAN_UNIT
+    all_codes = []
+    for tab, m in padded:
+        W = tab.shape[1]
+        codes = np.zeros((Nc_pad, W), dtype=np.int64)
+        for b in range(nb):
+            sl = slice(b * KB, (b + 1) * KB)
+            lo = win[b] * SPAN_UNIT
+            t = tab[sl]
+            in_span = (t >= lo) & (t < lo + N_WINDOWS * SPAN_UNIT)
+            gl = ghost_lists[b]
+            gslot = np.searchsorted(gl, t) if len(gl) else np.zeros_like(t)
+            gslot = np.clip(gslot, 0, max(len(gl) - 1, 0))
+            c = np.where(in_span, t - lo, ghost_base + gslot)
+            codes[sl] = np.where(m[sl], c, 0)
+            bad = ~in_span & m[sl]
+            if np.any(bad) and not np.array_equal(gl[gslot[bad]], t[bad]):
+                raise AssertionError("ghost slot resolution failed")
+        all_codes.append(TableCodes(
+            codes=np.ascontiguousarray(codes.T).astype(np.int32), width=W))
+    return pool, all_codes
+
+
+def pool_stats(pool: PoolSpec) -> Dict[str, float]:
+    g = (pool.ghost_ids > 0).sum(axis=1)
+    return {
+        "pool_rows": pool.n_pool_rows,
+        "ghost_rows": pool.n_ghost_rows,
+        "mean_ghosts": float(g.mean()),
+        "max_ghosts": int(g.max()),
+        "ghost_frac_of_kb": float(g.mean()) / KB,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Device-side planar layout + ghosts
+# ---------------------------------------------------------------------------
+
+def to_planar(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, C) -> (C, planar_width(N))."""
+    N = x.shape[0]
+    return jnp.pad(x, ((0, planar_width(N) - N), (0, 0))).T
+
+
+def from_planar(p: jnp.ndarray, n: int) -> jnp.ndarray:
+    return p[:, :n].T
+
+
+def ghosts_planar(x_planar: jnp.ndarray, ghost_ids: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """(C, nb*GR*128) ghost array from a planar source.
+
+    ghost_ids: (nb, GR*128) device array of source entity ids.
+    """
+    return x_planar[:, ghost_ids.reshape(-1)]
+
+
+# ---------------------------------------------------------------------------
+# In-kernel helpers
+# ---------------------------------------------------------------------------
+
+def assemble_poolT(window_refs, ghost_ref, ncomp: int):
+    """Build the (C*128, PR) transposed pool from window/ghost refs.
+
+    window_refs: N_WINDOWS refs of (C, SPAN_UNIT); ghost_ref
+    (C, GR*128) or None.  Row order: windows then ghosts — matching the
+    host-side code layout.
+    """
+    comps = []
+    for c in range(ncomp):
+        chunks = [w[c, :].reshape(SPAN_ROWS, LANES) for w in window_refs]
+        if ghost_ref is not None:
+            gr = ghost_ref.shape[1] // LANES
+            chunks.append(ghost_ref[c, :].reshape(gr, LANES))
+        comps.append(jnp.concatenate(chunks, axis=0).T)   # (128, PR)
+    return jnp.concatenate(comps, axis=0)                 # (C*128, PR)
+
+
+def split_terms(poolT: jnp.ndarray, terms: int = 3) -> List[jnp.ndarray]:
+    """bf16 split; 3 terms reproduce f32 exactly under one-hot select."""
+    out = []
+    rem = poolT
+    for t in range(terms):
+        h = rem.astype(jnp.bfloat16)
+        if t < terms - 1:
+            rem = rem - h.astype(jnp.float32)
+        out.append(h)
+    return out
+
+
+def select(poolT_terms: List[jnp.ndarray], code: jnp.ndarray,
+           ncomp: int) -> List[jnp.ndarray]:
+    """Select per-entry pool values.
+
+    code: (1, KB) int32 pool-local codes.  Returns ncomp arrays of
+    (1, KB) f32.
+    """
+    PR = poolT_terms[0].shape[1]
+    rows = code // LANES
+    lanes = code % LANES
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (PR, KB), 0)
+          == rows).astype(jnp.bfloat16)
+    tmp = None
+    for h in poolT_terms:
+        d = jax.lax.dot(h, oh, preferred_element_type=jnp.float32)
+        tmp = d if tmp is None else tmp + d               # (C*128, KB)
+    pick = jax.lax.broadcasted_iota(jnp.int32, (LANES, KB), 0) == lanes
+    return [
+        jnp.sum(jnp.where(pick, tmp[c * LANES:(c + 1) * LANES, :], 0.0),
+                axis=0, keepdims=True)
+        for c in range(ncomp)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Generic stage assembly
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class FieldSpec:
+    """One pooled input field of a stage."""
+
+    name: str
+    pool: PoolSpec
+    ncomp: int
+
+
+def stage_call(kernel_body, nb: int,
+               fields: Sequence[FieldSpec],
+               code_widths: Sequence[int],
+               n_out_comps: Sequence[int],
+               extra_in_specs: Sequence = (),
+               interpret: bool = False):
+    """Build a jit-able stage function.
+
+    kernel_body(ctx, *extra_refs) runs per consumer block with
+      ctx.pool(name)        -> (C*128, PR) f32 poolT
+      ctx.codes[i]          -> (W_i, KB) int32 codes ref block
+      ctx.out[j]            -> (C_j, KB) f32 output ref block
+    The returned function is called as
+      fn(win_stack, codes_list, field_arrays {name: (planar, ghosts)},
+         extras...) -> list of planar outputs (C_j, nb*KB).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_f = len(fields)
+
+    def kernel(win_ref, *refs):
+        code_refs = refs[:len(code_widths)]
+        off = len(code_widths)
+        win_refs = [refs[off + i * N_WINDOWS: off + (i + 1) * N_WINDOWS]
+                    for i in range(n_f)]
+        off += n_f * N_WINDOWS
+        ghost_refs = refs[off: off + n_f]
+        off += n_f
+        extra_refs = refs[off: off + len(extra_in_specs)]
+        out_refs = refs[off + len(extra_in_specs):]
+
+        class Ctx:
+            pass
+
+        ctx = Ctx()
+        pools = {}
+        for i, f in enumerate(fields):
+            pools[f.name] = assemble_poolT(
+                [w for w in win_refs[i]], ghost_refs[i], f.ncomp)
+        ctx.poolT = pools
+        ctx.codes = code_refs
+        ctx.out = out_refs
+        kernel_body(ctx, *extra_refs)
+
+    in_specs = []
+    for wi in code_widths:
+        in_specs.append(pl.BlockSpec(
+            (wi, KB), lambda b, win: (0, b), memory_space=pltpu.VMEM))
+    for i, f in enumerate(fields):
+        for w in range(N_WINDOWS):
+            in_specs.append(pl.BlockSpec(
+                (f.ncomp, SPAN_UNIT),
+                lambda b, win, i=i, w=w: (0, win[i, b] + w),
+                memory_space=pltpu.VMEM))
+    for i, f in enumerate(fields):
+        in_specs.append(pl.BlockSpec(
+            (f.ncomp, f.pool.n_ghost_rows * LANES),
+            lambda b, win, i=i: (0, b), memory_space=pltpu.VMEM))
+    in_specs.extend(extra_in_specs)
+
+    out_specs = tuple(
+        pl.BlockSpec((c, KB), lambda b, win: (0, b),
+                     memory_space=pltpu.VMEM)
+        for c in n_out_comps)
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((c, nb * KB), jnp.float32)
+        for c in n_out_comps)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+    )
+
+    def fn(win_stack, codes_list, field_arrays, *extras):
+        args = list(codes_list)
+        for f in fields:
+            planar, _ = field_arrays[f.name]
+            args.extend([planar] * N_WINDOWS)
+        for f in fields:
+            _, ghosts = field_arrays[f.name]
+            args.append(ghosts)
+        args.extend(extras)
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shapes if len(out_shapes) > 1 else out_shapes[0],
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(win_stack, *args)
+
+    return fn
+
+
+def win_stack_for(fields: Sequence[FieldSpec]) -> np.ndarray:
+    """(n_fields, nb) prefetch array of first-window indices."""
+    return np.stack([f.pool.win for f in fields]).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Standalone tiled gather (engine self-test + benchmark surface)
+# ---------------------------------------------------------------------------
+
+def tiled_gather(x: jnp.ndarray, pool: PoolSpec, codes: TableCodes,
+                 n_consumers: int, interpret: bool = False) -> jnp.ndarray:
+    """Gather x[table] through the select engine.
+
+    x: (N, C) dense source values.  Returns (n_consumers, W, C).
+    Reference semantics identical to x[table] with masked entries
+    arbitrary.  This is the engine's unit-test surface — production
+    stages fuse their math into the kernel body instead.
+    """
+    C = x.shape[1]
+    W = codes.width
+    nb = codes.codes.shape[1] // KB
+
+    xp = to_planar(x.astype(jnp.float32))
+    gids = jnp.asarray(pool.ghost_ids)
+    gh = ghosts_planar(xp, gids).reshape(C, -1)
+    # ghosts as (C, nb*GR*128) planar with per-block blocks (C, GR*128)
+    field = FieldSpec("x", pool, C)
+
+    def body(ctx):
+        pT = split_terms(ctx.poolT["x"])
+        cr = ctx.codes[0]
+        for w in range(W):
+            vals = select(pT, cr[w, :][None, :], C)
+            for c in range(C):
+                ctx.out[w * C + c][:] = vals[c]
+
+    fn = stage_call(body, nb, [field], [W], [1] * (W * C),
+                    interpret=interpret)
+    outs = fn(jnp.asarray(win_stack_for([field])),
+              [jnp.asarray(codes.codes)], {"x": (xp, gh)})
+    res = jnp.stack([jnp.stack([outs[w * C + c][0] for c in range(C)],
+                               axis=-1) for w in range(W)], axis=1)
+    return res[:n_consumers]

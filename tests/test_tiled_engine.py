@@ -1,0 +1,65 @@
+"""Select-engine (ops/tiled.py) correctness: pools, codes, gather."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from smoothmesh_tpu.mesh.blockmesh import hex_block, perturb
+from smoothmesh_tpu.mesh.tiling import permute_mesh
+from smoothmesh_tpu.mesh.topology import compile_topology
+from smoothmesh_tpu.ops import tiled
+
+
+@pytest.fixture(scope="module")
+def topo():
+    mesh = perturb(hex_block(n=(20, 18, 16)), amplitude=0.05, seed=4)
+    new_mesh, _ = permute_mesh(mesh)
+    return compile_topology(new_mesh)
+
+
+def test_pool_codes_decode(topo):
+    pool, (codes,) = tiled.build_pool(
+        topo.n_points, [(topo.point_cells, topo.point_cells_mask)],
+        topo.n_cells)
+    kb = tiled.KB
+    span = tiled.N_WINDOWS * tiled.SPAN_UNIT
+    nb = codes.codes.shape[1] // kb
+    W = codes.width
+    for b in range(nb):
+        lo = pool.win[b] * tiled.SPAN_UNIT
+        for w in range(W):
+            code = codes.codes[w, b * kb:(b + 1) * kb]
+            n_real = min((b + 1) * kb, topo.n_points) - b * kb
+            src = np.where(code < span, lo + code,
+                           pool.ghost_ids[b, np.clip(code - span, 0,
+                                                     None)])
+            sl = slice(b * kb, b * kb + n_real)
+            m = topo.point_cells_mask[sl, w]
+            np.testing.assert_array_equal(src[:n_real][m],
+                                          topo.point_cells[sl, w][m])
+
+
+@pytest.mark.parametrize("table_name,src_attr", [
+    ("point_cells", "n_cells"),
+    ("point_points", "n_points"),
+    ("face_points", "n_points"),
+    ("edge_cells", "n_cells"),
+])
+def test_tiled_gather_matches_plain(topo, table_name, src_attr):
+    table = getattr(topo, table_name)
+    mask_name = {"point_cells": "point_cells_mask",
+                 "point_points": "point_points_mask",
+                 "face_points": "face_mask",
+                 "edge_cells": "edge_cells_mask"}[table_name]
+    mask = getattr(topo, mask_name)
+    n_src = getattr(topo, src_attr)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((n_src, 3)).astype(np.float32)
+
+    pool, (codes,) = tiled.build_pool(table.shape[0], [(table, mask)],
+                                      n_src)
+    got = np.asarray(tiled.tiled_gather(
+        jnp.asarray(x), pool, codes, table.shape[0], interpret=True))
+    want = x[np.asarray(table, np.int64)]
+    np.testing.assert_allclose(got[mask], want[mask], rtol=0, atol=0)
