@@ -274,7 +274,8 @@ def current_face_angles_per_point(points, cell_ctrs, td, chunk=None,
 
 def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                                       min_angle_rad, max_angle_rad, frozen,
-                                      chunk=None):
+                                      chunk=None, fc_base=None,
+                                      cur_minmax=None):
     """Freeze points (and neighbours) whose moves deteriorate face-face
     angles already outside [min_angle, max_angle].
 
@@ -283,11 +284,19 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     effect of each moving neighbour q on p's angles (with p at its
     current effective position) and freezes offending neighbours; sweeps
     repeat until the freeze mask stops changing.
+
+    ``fc_base`` / ``cur_minmax`` let the tile engine supply the
+    vertex-mean face centres and the per-point current min/max angles
+    it already computed (ops/tiledstep.py), skipping the per-edge pass.
     """
     dtype = points.dtype
-    fc_base = simple_face_centres(points, td)
-    cur_min_p, cur_max_p = current_face_angles_per_point(
-        points, cell_ctrs, td, chunk=chunk, fc_base=fc_base)
+    if fc_base is None:
+        fc_base = simple_face_centres(points, td)
+    if cur_minmax is not None:
+        cur_min_p, cur_max_p = cur_minmax
+    else:
+        cur_min_p, cur_max_p = current_face_angles_per_point(
+            points, cell_ctrs, td, chunk=chunk, fc_base=fc_base)
     # Points already in good range never freeze anyone (reference :1367)
     active = (cur_min_p <= min_angle_rad) | (cur_max_p >= max_angle_rad)
 

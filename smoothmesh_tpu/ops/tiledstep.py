@@ -70,6 +70,38 @@ def _planar_extra_i32(arr: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(a.T)
 
 
+def u_to_angle(u: jnp.ndarray) -> jnp.ndarray:
+    """Invert the kernel-side monotone map u(theta) (see _e_body)."""
+    return jnp.where(
+        u <= 2.0,
+        jnp.arccos(jnp.clip(1.0 - u, -1.0, 1.0)),
+        2.0 * np.pi - jnp.arccos(jnp.clip(u - 3.0, -1.0, 1.0)))
+
+
+def _share_cell_bits(topo) -> np.ndarray:
+    """share[p, w1] bitmask over w2: neighbours pp[p,w1] and pp[p,w2]
+    share at least one cell (replaces ops/smoothing._share_cell's
+    on-device set intersection with a static table)."""
+    pp = topo.point_points
+    ppm = topo.point_points_mask
+    pc = topo.point_cells.astype(np.int64)
+    pcm = topo.point_cells_mask
+    N, W = pp.shape
+    bits = np.zeros((N, W), np.int64)
+    if W > 31:
+        raise ValueError("point_points wider than 31 slots")
+    step = max(1, (1 << 24) // max(W * W * pc.shape[1] ** 2, 1))
+    for s in range(0, N, step):
+        sl = slice(s, min(s + step, N))
+        a = pc[pp[sl]]                               # (B, W, Wc)
+        am = pcm[pp[sl]] & ppm[sl][..., None]
+        eq = (a[:, :, None, :, None] == a[:, None, :, None, :])
+        eq &= am[:, :, None, :, None] & am[:, None, :, None, :]
+        share = eq.any(axis=(3, 4))                  # (B, W, W)
+        bits[sl] = (share << np.arange(W)[None, None, :]).sum(-1)
+    return bits.astype(np.int32)
+
+
 def _extra_spec(w: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -120,6 +152,104 @@ class TiledEngine:
         self._c_win = jnp.asarray(win_stack_for([self.c_field]))
         self._c_codes_dev = jnp.asarray(self.c_codes.codes)
         self._c_gids = jnp.asarray(self.c_pool.ghost_ids)
+
+        # ---- stage P: points <- cell centres + neighbour points ------
+        self.p_cc_pool, (self.p_cc_codes,) = tiled.build_pool(
+            t.n_points, [(t.point_cells, t.point_cells_mask)], t.n_cells)
+        self.p_pp_pool, (self.p_pp_codes,) = tiled.build_pool(
+            t.n_points, [(t.point_points, t.point_points_mask)],
+            t.n_points)
+        self.p_pc_mask = jnp.asarray(_planar_extra(t.point_cells_mask))
+        self.p_pp_mask = jnp.asarray(_planar_extra(t.point_points_mask))
+        self.p_share = jnp.asarray(_planar_extra_i32(
+            _share_cell_bits(t)))
+        intern = t.is_internal_point.astype(np.float32)[:, None]
+        self.p_intern = jnp.asarray(_planar_extra(intern))
+        self.p_cc_field = FieldSpec("cc", self.p_cc_pool, 4)
+        self.p_pp_field = FieldSpec("pts4", self.p_pp_pool, 4)
+        self._p_win = jnp.asarray(win_stack_for(
+            [self.p_cc_field, self.p_pp_field]))
+        self._p_codes_dev = [jnp.asarray(self.p_cc_codes.codes),
+                             jnp.asarray(self.p_pp_codes.codes)]
+        self._p_gids = (jnp.asarray(self.p_cc_pool.ghost_ids),
+                        jnp.asarray(self.p_pp_pool.ghost_ids))
+        self._p_stage_cache = {}
+
+        # ---- stage S: freeze constraints over the same pp pool -------
+        self.s_cur_field = FieldSpec("cur4", self.p_pp_pool, 4)
+        self.s_prop_field = FieldSpec("prop4", self.p_pp_pool, 4)
+        self._init_stage_s()
+        self._init_stage_e()
+
+    def _init_stage_s(self):
+        t = self.topo
+        # wedge prev/next as SLOTS into point_points (values are always
+        # edge-neighbours of the point, so the lookup is total)
+        pp = t.point_points.astype(np.int64)
+        ppm = t.point_points_mask
+        pfm = t.point_faces_mask
+
+        def to_slots(tab):
+            match = (tab.astype(np.int64)[:, :, None] == pp[:, None, :])
+            match &= ppm[:, None, :] & pfm[:, :, None]
+            ok = match.any(axis=2)
+            if not np.array_equal(ok, pfm):
+                raise AssertionError("wedge neighbour not in point_points")
+            return match.argmax(axis=2)
+
+        self.s_prev_slot = jnp.asarray(_planar_extra_i32(
+            to_slots(t.wedge_prev)))
+        self.s_next_slot = jnp.asarray(_planar_extra_i32(
+            to_slots(t.wedge_next)))
+        self.s_pf_mask = jnp.asarray(_planar_extra(pfm))
+        self._s_stage_cache = {}
+
+    def _get_stage_s(self, min_edge, total_min_freeze, min_angle_rad,
+                     edge_angle_on):
+        key = (float(min_edge), bool(total_min_freeze),
+               float(min_angle_rad), bool(edge_angle_on))
+        if key not in self._s_stage_cache:
+            t = self.topo
+            body = functools.partial(
+                self._s_body, min_edge=key[0], total_min_freeze=key[1],
+                cos_min_angle=float(np.cos(key[2])),
+                edge_angle_on=key[3])
+            self._s_stage_cache[key] = stage_call(
+                body, _nb(t.n_points),
+                [self.s_cur_field, self.s_prop_field],
+                [self.p_pp_codes.width], [1],
+                extra_in_specs=[
+                    _extra_spec(t.point_points_mask.shape[1]),
+                    _extra_spec(t.point_faces_mask.shape[1]),
+                    _extra_spec(t.point_faces_mask.shape[1]),
+                    _extra_spec(t.point_faces_mask.shape[1]),
+                    _extra_spec(4),
+                    _extra_spec(4),
+                    _extra_spec(1),
+                ],
+                interpret=self.interpret)
+        return self._s_stage_cache[key]
+
+    def _get_stage_p(self, max_step, rel_step_frac, do_boundary):
+        key = (float(max_step), float(rel_step_frac), bool(do_boundary))
+        if key not in self._p_stage_cache:
+            t = self.topo
+            body = functools.partial(
+                self._p_body, max_step=key[0], rel_step_frac=key[1],
+                do_boundary=key[2])
+            self._p_stage_cache[key] = stage_call(
+                body, _nb(t.n_points),
+                [self.p_cc_field, self.p_pp_field],
+                [self.p_cc_codes.width, self.p_pp_codes.width], [4],
+                extra_in_specs=[
+                    _extra_spec(t.point_cells_mask.shape[1]),
+                    _extra_spec(t.point_points_mask.shape[1]),
+                    _extra_spec(t.point_points_mask.shape[1]),
+                    _extra_spec(1),
+                    _extra_spec(4),
+                ],
+                interpret=self.interpret)
+        return self._p_stage_cache[key]
 
     # ---- kernel bodies ---------------------------------------------------
 
@@ -231,6 +361,347 @@ class TiledEngine:
         ctx.out[0][:] = jnp.concatenate([ccx, ccy, ccz, vol3 / 3.0],
                                         axis=0)
 
+    def _p_body(self, ctx, pc_mask_ref, pp_mask_ref, share_ref,
+                intern_ref, own4_ref, *, max_step, rel_step_frac,
+                do_boundary):
+        """Fused centroidal + aspect-ratio + step limiter for one block
+        of points (ops/smoothing.py: centroidal_smoothing,
+        _closest_three, _share_cell, aspect_ratio_smoothing,
+        constrain_max_step_length; reference src/smoothMesh.C:96-754).
+
+        Outputs (4, KB): [proposal xyz | min current edge length].
+        """
+        Wc = self.p_cc_codes.width
+        Wp = self.p_pp_codes.width
+        ccT = split_terms(ctx.poolT["cc"])
+        ppT = split_terms(ctx.poolT["pts4"])
+        cc_codes = ctx.codes[0]
+        pp_codes = ctx.codes[1]
+
+        own = [own4_ref[c, :][None, :] for c in range(3)]
+        internal = intern_ref[0, :][None, :]            # 1.0 / 0.0
+        big = BIGF
+        inf = jnp.float32(np.inf)
+
+        # -- centroidal ------------------------------------------------
+        elig_own = jnp.maximum(internal, 1.0 if do_boundary else 0.0)
+        sx = sy = sz = cnt = 0.0
+        for w in range(Wc):
+            v = select(ccT, cc_codes[w, :][None, :], 3)
+            m = pc_mask_ref[w, :][None, :] * elig_own
+            sx = sx + v[0] * m
+            sy = sy + v[1] * m
+            sz = sz + v[2] * m
+            cnt = cnt + m
+        has = cnt > 0
+        inv = 1.0 / jnp.maximum(cnt, 1.0)
+        cent = [jnp.where(has, sx * inv, own[0]),
+                jnp.where(has, sy * inv, own[1]),
+                jnp.where(has, sz * inv, own[2])]
+
+        # -- closest three (with boundary filtering) -------------------
+        rel = []        # per slot [dx, dy, dz]
+        lens_m = []     # masked length (inf where padded)
+        lens_e = []     # eligibility-filtered length
+        for w in range(Wp):
+            v = select(ppT, pp_codes[w, :][None, :], 4)
+            dx = v[0] - own[0]
+            dy = v[1] - own[1]
+            dz = v[2] - own[2]
+            L = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            m = pp_mask_ref[w, :][None, :] > 0
+            n_int = v[3] > 0.5
+            elig = m & ((internal > 0.5) | ~n_int)
+            rel.append([dx, dy, dz])
+            lens_m.append(jnp.where(m, L, inf))
+            lens_e.append(jnp.where(elig, L, inf))
+
+        cur_min = lens_m[0]
+        for w in range(1, Wp):
+            cur_min = jnp.minimum(cur_min, lens_m[w])
+
+        picks = []          # (vec3, slot, found)
+        lcur = list(lens_e)
+        for _ in range(3):
+            best_l = lcur[0]
+            best_w = jnp.zeros_like(best_l, jnp.int32)
+            for w in range(1, Wp):
+                better = lcur[w] < best_l
+                best_l = jnp.where(better, lcur[w], best_l)
+                best_w = jnp.where(better, w, best_w)
+            found = best_l < inf
+            vec = []
+            for c in range(3):
+                x = 0.0
+                for w in range(Wp):
+                    x = x + jnp.where(best_w == w, rel[w][c], 0.0)
+                vec.append(jnp.where(found, x, big))
+            picks.append((vec, jnp.where(found, best_w, -1), found))
+            lcur = [jnp.where(best_w == w, inf, lcur[w])
+                    for w in range(Wp)]
+
+        (c1, w1, f1), (c2, w2, f2), (c3, _w3, _f3) = picks
+        # share-a-cell test via the static bitmask
+        bits1 = 0
+        for w in range(Wp):
+            bits1 = bits1 + jnp.where(
+                w1 == w, share_ref[w, :][None, :], 0)
+        has_common = (jnp.bitwise_and(
+            jnp.right_shift(bits1, jnp.maximum(w2, 0)), 1) > 0)
+        has_common &= f1 & f2
+
+        def norm3(v):
+            return jnp.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
+
+        l1 = norm3(c1)
+        l2 = norm3(c2)
+        l3 = norm3(c3)
+        ratio1 = l2 / jnp.maximum(l1, VSMALL)
+        ratio2 = l3 / jnp.maximum(l2, VSMALL)
+        frac_int = jnp.clip((ratio2 - 1.5) / 1.5, 0.0, 1.0)
+        frac_int = jnp.where((ratio1 < 1.5) & (ratio2 > 1.5), frac_int,
+                             0.0)
+        frac_bnd = jnp.clip(ratio1 - 1.0, 0.0, 1.0)
+        frac = jnp.where(internal > 0.5, frac_int, frac_bnd)
+        zero1 = ((c1[0] == 0.0) & (c1[1] == 0.0) & (c1[2] == 0.0)) | \
+            ((c2[0] == 0.0) & (c2[1] == 0.0) & (c2[2] == 0.0))
+        frac = jnp.where(has_common | zero1, 0.0, frac)
+
+        prop = []
+        use_blend = frac > 0.0
+        for c in range(3):
+            mid = own[c] + 0.5 * (c1[c] + c2[c])
+            blended = (1.0 - frac) * cent[c] + frac * mid
+            prop.append(jnp.where(use_blend, blended, cent[c]))
+
+        # -- step limiter ---------------------------------------------
+        step = [prop[c] - own[c] for c in range(3)]
+        slen = norm3(step)
+        scale = jnp.where(
+            slen > max_step,
+            max_step / (jnp.maximum(slen, VSMALL) * rel_step_frac),
+            1.0)
+        out = [own[c] + (rel_step_frac * scale) * step[c]
+               for c in range(3)]
+
+        cur_min = jnp.where(cur_min < inf, cur_min, big)
+        ctx.out[0][:] = jnp.concatenate(out + [cur_min], axis=0)
+
+    def _init_stage_e(self):
+        """Face-angle current pass: edges <- endpoints + vm + cc."""
+        t = self.topo
+        self.e_pts_pool, (self.e_ep_codes,) = tiled.build_pool(
+            t.n_edges, [(t.edges, None)], t.n_points)
+        self.e_vm_pool, (self.e_ef_codes,) = tiled.build_pool(
+            t.n_edges, [(t.edge_faces, t.edge_faces_mask)], t.n_faces)
+        self.e_cc_pool, (self.e_ec_codes,) = tiled.build_pool(
+            t.n_edges, [(t.edge_cells, t.edge_cells_mask)], t.n_cells)
+        self.e_ec_mask = jnp.asarray(_planar_extra(t.edge_cells_mask))
+        self.e_f0 = jnp.asarray(_planar_extra_i32(t.edge_cell_f0))
+        self.e_f1 = jnp.asarray(_planar_extra_i32(t.edge_cell_f1))
+        self.e_pts_field = FieldSpec("pts4", self.e_pts_pool, 4)
+        self.e_vm_field = FieldSpec("vm", self.e_vm_pool, 3)
+        self.e_cc_field = FieldSpec("cc", self.e_cc_pool, 4)
+        self._stage_e = stage_call(
+            self._e_body, _nb(t.n_edges),
+            [self.e_pts_field, self.e_vm_field, self.e_cc_field],
+            [self.e_ep_codes.width, self.e_ef_codes.width,
+             self.e_ec_codes.width], [2],
+            extra_in_specs=[
+                _extra_spec(t.edge_cells_mask.shape[1]),
+                _extra_spec(t.edge_cell_f0.shape[1]),
+                _extra_spec(t.edge_cell_f1.shape[1]),
+            ],
+            interpret=self.interpret)
+        self._e_win = jnp.asarray(win_stack_for(
+            [self.e_pts_field, self.e_vm_field, self.e_cc_field]))
+        self._e_codes_dev = [jnp.asarray(self.e_ep_codes.codes),
+                             jnp.asarray(self.e_ef_codes.codes),
+                             jnp.asarray(self.e_ec_codes.codes)]
+        self._e_gids = (jnp.asarray(self.e_pts_pool.ghost_ids),
+                        jnp.asarray(self.e_vm_pool.ghost_ids),
+                        jnp.asarray(self.e_cc_pool.ghost_ids))
+
+        # stage R: per-point u-space min/max over point_edges
+        self.r_pool, (self.r_codes,) = tiled.build_pool(
+            t.n_points, [(t.point_edges, t.point_edges_mask)], t.n_edges)
+        self.r_pe_mask = jnp.asarray(_planar_extra(t.point_edges_mask))
+        self.r_field = FieldSpec("ue", self.r_pool, 2)
+        self._stage_r = stage_call(
+            self._r_body, _nb(t.n_points), [self.r_field],
+            [self.r_codes.width], [2],
+            extra_in_specs=[_extra_spec(t.point_edges_mask.shape[1])],
+            interpret=self.interpret)
+        self._r_win = jnp.asarray(win_stack_for([self.r_field]))
+        self._r_codes_dev = jnp.asarray(self.r_codes.codes)
+        self._r_gids = jnp.asarray(self.r_pool.ghost_ids)
+
+    def _e_body(self, ctx, ec_mask_ref, f0_ref, f1_ref):
+        """Per-edge min/max projected face-face angle in u-space
+        (face_angles_for_edges without substitutions, reference
+        calcMinMaxFaceAngleForEdge src/smoothMesh.C:1135-1231).
+
+        u(theta) = 1 - cos(theta) for sin >= 0 else 3 + cos(theta):
+        strictly increasing on [0, 2pi], so u-space min/max equal
+        angle-space min/max; the driver converts the reduced per-point
+        values back with arccos (acos does not lower to Mosaic).
+        """
+        WEP = self.e_ep_codes.width           # 2
+        WEF = self.e_ef_codes.width
+        WEC = self.e_ec_codes.width
+        ptsT = split_terms(ctx.poolT["pts4"])
+        vmT = split_terms(ctx.poolT["vm"])
+        ccT = split_terms(ctx.poolT["cc"])
+        epc, efc, ecc = ctx.codes
+
+        e0 = select(ptsT, epc[0, :][None, :], 3)
+        e1 = select(ptsT, epc[1, :][None, :], 3)
+        ctr = [0.5 * (a + b) for a, b in zip(e0, e1)]
+        ev = [b - a for a, b in zip(e0, e1)]
+        en = jnp.maximum(jnp.sqrt(sum(v * v for v in ev)), VSMALL)
+        ev = [v / en for v in ev]
+
+        def proj_unit(x):
+            cf = [ctr[c] - x[c] for c in range(3)]
+            dt = sum(cf[c] * ev[c] for c in range(3))
+            d = [x[c] + dt * ev[c] - ctr[c] for c in range(3)]
+            dn = jnp.maximum(jnp.sqrt(sum(v * v for v in d)), VSMALL)
+            return [d[c] / dn for c in range(3)]
+
+        pvecs = []
+        for w in range(WEF):
+            vm = select(vmT, efc[w, :][None, :], 3)
+            pvecs.append(proj_unit(vm))
+
+        def slot_sel3(vals, slot):
+            return [sum(jnp.where(slot == w, vals[w][c], 0.0)
+                        for w in range(WEF)) for c in range(3)]
+
+        u_min = jnp.full_like(e0[0], 4.0)
+        u_max = jnp.zeros_like(e0[0])
+        for u in range(WEC):
+            cc = select(ccT, ecc[u, :][None, :], 3)
+            cv = proj_unit(cc)
+            f0 = f0_ref[u, :][None, :].astype(jnp.int32)
+            f1 = f1_ref[u, :][None, :].astype(jnp.int32)
+            p0 = slot_sel3(pvecs, f0)
+            p1 = slot_sel3(pvecs, f1)
+            a = jnp.clip(sum(p0[c] * cv[c] for c in range(3)),
+                         -0.99999, 0.99999)
+            b = jnp.clip(sum(cv[c] * p1[c] for c in range(3)),
+                         -0.99999, 0.99999)
+            sa = jnp.sqrt(1.0 - a * a)
+            sb = jnp.sqrt(1.0 - b * b)
+            cos_s = a * b - sa * sb
+            sin_s = sa * b + a * sb
+            uv = jnp.where(sin_s >= 0, 1.0 - cos_s, 3.0 + cos_s)
+            ok = ec_mask_ref[u, :][None, :] > 0
+            u_min = jnp.where(ok, jnp.minimum(u_min, uv), u_min)
+            u_max = jnp.where(ok, jnp.maximum(u_max, uv), u_max)
+        ctx.out[0][:] = jnp.concatenate([u_min, u_max], axis=0)
+
+    def _r_body(self, ctx, pe_mask_ref):
+        W = self.r_codes.width
+        ueT = split_terms(ctx.poolT["ue"])
+        codes = ctx.codes[0]
+        u_min = None
+        u_max = None
+        for w in range(W):
+            v = select(ueT, codes[w, :][None, :], 2)
+            ok = pe_mask_ref[w, :][None, :] > 0
+            mn = jnp.where(ok, v[0], 4.0)
+            mx = jnp.where(ok, v[1], 0.0)
+            u_min = mn if u_min is None else jnp.minimum(u_min, mn)
+            u_max = mx if u_max is None else jnp.maximum(u_max, mx)
+        ctx.out[0][:] = jnp.concatenate([u_min, u_max], axis=0)
+
+    def _s_body(self, ctx, pp_mask_ref, pf_mask_ref, prev_slot_ref,
+                next_slot_ref, own_cur_ref, own_prop_ref, frozen_in_ref,
+                *, min_edge, total_min_freeze, cos_min_angle,
+                edge_angle_on):
+        """Edge-shortening + edge-angle freezes for one point block
+        (ops/constraints.restrict_edge_shortening /
+        restrict_min_edge_angle_decrease; reference
+        src/smoothMesh.C:602-652, :766-930).
+
+        Angle comparisons run in the cosine domain: acos is strictly
+        decreasing, so every reference comparison of clamped-acos
+        angles maps to the reversed comparison of clamped cosines —
+        bit-identical freeze decisions without transcendentals.
+        """
+        Wp = self.p_pp_codes.width
+        WF = self.topo.point_faces_mask.shape[1]
+        curT = split_terms(ctx.poolT["cur4"])
+        propT = split_terms(ctx.poolT["prop4"])
+        codes = ctx.codes[0]
+        own_c = [own_cur_ref[c, :][None, :] for c in range(3)]
+        own_p = [own_prop_ref[c, :][None, :] for c in range(3)]
+        inf = jnp.float32(np.inf)
+
+        ncur = []
+        nprop = []
+        cur_min = None
+        new_min = None
+        for w in range(Wp):
+            code = codes[w, :][None, :]
+            cv = select(curT, code, 3)
+            pv = select(propT, code, 3)
+            ncur.append(cv)
+            nprop.append(pv)
+            m = pp_mask_ref[w, :][None, :] > 0
+            dxc = [cv[c] - own_c[c] for c in range(3)]
+            dxn = [cv[c] - own_p[c] for c in range(3)]
+            lc = jnp.sqrt(sum(d * d for d in dxc))
+            ln = jnp.sqrt(sum(d * d for d in dxn))
+            lc = jnp.where(m, lc, inf)
+            ln = jnp.where(m, ln, inf)
+            cur_min = lc if cur_min is None else jnp.minimum(cur_min, lc)
+            new_min = ln if new_min is None else jnp.minimum(new_min, ln)
+
+        if total_min_freeze:
+            fr = jnp.minimum(cur_min, new_min) < min_edge
+        else:
+            fr = (new_min < min_edge) & (new_min < cur_min)
+
+        if edge_angle_on:
+            def slot_sel(vals, slot):
+                return [sum(jnp.where(slot == w, vals[w][c], 0.0)
+                            for w in range(Wp)) for c in range(3)]
+
+            def cosang(ctr, p1, p2):
+                v1 = [p1[c] - ctr[c] for c in range(3)]
+                v2 = [p2[c] - ctr[c] for c in range(3)]
+                n1 = jnp.sqrt(sum(v * v for v in v1))
+                n2 = jnp.sqrt(sum(v * v for v in v2))
+                d = sum(a * b for a, b in zip(v1, v2))
+                d = d / (jnp.maximum(n1, VSMALL) * jnp.maximum(n2,
+                                                              VSMALL))
+                return jnp.clip(d, -0.99999, 0.99999)
+
+            max_c = jnp.full_like(cur_min, -2.0)
+            max_n = jnp.full_like(cur_min, -2.0)
+            for k in range(WF):
+                ps = prev_slot_ref[k, :][None, :].astype(jnp.int32)
+                ns = next_slot_ref[k, :][None, :].astype(jnp.int32)
+                ok = pf_mask_ref[k, :][None, :] > 0
+                cp1 = slot_sel(ncur, ps)
+                cp2 = slot_sel(ncur, ns)
+                np1 = slot_sel(nprop, ps)
+                np2 = slot_sel(nprop, ns)
+                cos_c = cosang(own_c, cp1, cp2)
+                cos_n = jnp.maximum(
+                    jnp.maximum(cosang(own_p, cp1, cp2),
+                                cosang(own_p, np1, np2)),
+                    jnp.maximum(cosang(own_p, cp1, np2),
+                                cosang(own_p, np1, cp2)))
+                max_c = jnp.where(ok, jnp.maximum(max_c, cos_c), max_c)
+                max_n = jnp.where(ok, jnp.maximum(max_n, cos_n), max_n)
+            fr = fr | ((max_n > cos_min_angle) & (max_n > max_c))
+
+        frozen = jnp.maximum(frozen_in_ref[0, :][None, :],
+                             fr.astype(jnp.float32))
+        ctx.out[0][:] = frozen
+
     # ---- public stage functions (jittable) -------------------------------
 
     def face_geometry(self, pts_planar: jnp.ndarray):
@@ -244,6 +715,67 @@ class TiledEngine:
         gh = ghosts_planar(geom6, self._c_gids)
         return self._stage_c(self._c_win, [self._c_codes_dev],
                              {"fgeom": (geom6, gh)}, self.c_sign)
+
+    def predictor(self, pts4_planar: jnp.ndarray, cc4: jnp.ndarray,
+                  max_step: float, rel_step_frac: float,
+                  do_boundary: bool):
+        """Centroidal + AR + limiter -> (4, N_pad) [proposal | curmin].
+
+        pts4_planar: (4, N_pad) [x|y|z|is_internal] current points.
+        cc4: (4, C_pad) from cell_centres_vols.
+        """
+        fn = self._get_stage_p(max_step, rel_step_frac, do_boundary)
+        gh_cc = ghosts_planar(cc4, self._p_gids[0])
+        gh_pp = ghosts_planar(pts4_planar, self._p_gids[1])
+        return fn(self._p_win, self._p_codes_dev,
+                  {"cc": (cc4, gh_cc), "pts4": (pts4_planar, gh_pp)},
+                  self.p_pc_mask, self.p_pp_mask, self.p_share,
+                  self.p_intern, pts4_planar)
+
+    def freeze_constraints(self, pts4_planar: jnp.ndarray,
+                           prop4: jnp.ndarray, frozen_in: jnp.ndarray,
+                           min_edge: float, total_min_freeze: bool,
+                           min_angle_rad: float, edge_angle_on: bool):
+        """Edge-shortening + edge-angle freeze mask -> (1, N_pad) f32.
+
+        frozen_in: (1, N_pad) f32 0/1 mask to OR into.
+        """
+        fn = self._get_stage_s(min_edge, total_min_freeze,
+                               min_angle_rad, edge_angle_on)
+        gh_cur = ghosts_planar(pts4_planar, self._p_gids[1])
+        gh_prop = ghosts_planar(prop4, self._p_gids[1])
+        win = jnp.asarray(win_stack_for(
+            [self.s_cur_field, self.s_prop_field]))
+        return fn(win, [self._p_codes_dev[1]],
+                  {"cur4": (pts4_planar, gh_cur),
+                   "prop4": (prop4, gh_prop)},
+                  self.p_pp_mask, self.s_pf_mask, self.s_prev_slot,
+                  self.s_next_slot, pts4_planar, prop4, frozen_in)
+
+    def face_angles_per_point(self, pts4_planar: jnp.ndarray,
+                              vm3: jnp.ndarray, cc4: jnp.ndarray):
+        """Current per-point min/max face angles (radians, dense (N,)
+        pair) — twin of ops/constraints.current_face_angles_per_point.
+        """
+        gh_p = ghosts_planar(pts4_planar, self._e_gids[0])
+        gh_v = ghosts_planar(vm3, self._e_gids[1])
+        gh_c = ghosts_planar(cc4, self._e_gids[2])
+        ue = self._stage_e(
+            self._e_win, self._e_codes_dev,
+            {"pts4": (pts4_planar, gh_p), "vm": (vm3, gh_v),
+             "cc": (cc4, gh_c)},
+            self.e_ec_mask, self.e_f0, self.e_f1)
+        gh_u = ghosts_planar(ue, self._r_gids)
+        up = self._stage_r(self._r_win, [self._r_codes_dev],
+                           {"ue": (ue, gh_u)}, self.r_pe_mask)
+        n = self.topo.n_points
+        return (u_to_angle(up[0, :n]), u_to_angle(up[1, :n]))
+
+    def pts4(self, points: jnp.ndarray) -> jnp.ndarray:
+        """(N, 3) -> (4, N_pad) planar with the is-internal flag."""
+        intern = jnp.asarray(self.topo.is_internal_point, jnp.float32)
+        return to_planar(jnp.concatenate(
+            [points.astype(jnp.float32), intern[:, None]], axis=1))
 
     def cell_centres_dense(self, points: jnp.ndarray) -> jnp.ndarray:
         """Convenience twin of geometry.cell_centres: (N,3) -> (C,3)."""

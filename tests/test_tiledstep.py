@@ -58,3 +58,85 @@ def test_cell_centres_match_xla(mesh):
     cc = eng.cell_centres_dense(pts)
     np.testing.assert_allclose(np.asarray(cc), np.asarray(cc_ref),
                                rtol=0, atol=5e-6)
+
+
+@pytest.mark.parametrize("mesh", MESHES, ids=["hex", "prism"])
+@pytest.mark.parametrize("do_boundary", [False, True])
+def test_predictor_matches_xla(mesh, do_boundary):
+    from smoothmesh_tpu.ops import smoothing as sm
+
+    topo, td, pts, eng = _setup(mesh)
+    cc = geo.cell_centres(pts, td)
+    cent = sm.centroidal_smoothing(pts, cc, td, do_boundary)
+    prop = sm.aspect_ratio_smoothing(pts, cent, td)
+    max_step, rsf = 0.013, 0.5
+    prop = sm.constrain_max_step_length(pts, prop, max_step, rsf)
+
+    out4 = eng.predictor(eng.pts4(pts), eng.cell_centres_vols(
+        eng.face_geometry(to_planar(pts))[0]), max_step, rsf,
+        do_boundary)
+    got = from_planar(out4[:3], topo.n_points)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(prop),
+                               rtol=0, atol=3e-6)
+    # curmin = min current edge length per point
+    rel = pts[td["point_points"]] - pts[:, None, :]
+    L = jnp.linalg.norm(rel, axis=-1)
+    curmin = jnp.min(jnp.where(td["point_points_mask"], L, jnp.inf),
+                     axis=1)
+    got_min = from_planar(out4[3:4], topo.n_points)[:, 0]
+    np.testing.assert_allclose(np.asarray(got_min), np.asarray(curmin),
+                               rtol=0, atol=3e-6)
+
+
+@pytest.mark.parametrize("mesh", MESHES, ids=["hex", "prism"])
+@pytest.mark.parametrize("tmf", [False, True])
+def test_freeze_constraints_match_xla(mesh, tmf):
+    import math
+
+    from smoothmesh_tpu.ops import constraints as con
+    from smoothmesh_tpu.ops import smoothing as sm
+
+    topo, td, pts, eng = _setup(mesh)
+    cc = geo.cell_centres(pts, td)
+    cent = sm.centroidal_smoothing(pts, cc, td, False)
+    prop = sm.aspect_ratio_smoothing(pts, cent, td)
+    prop = sm.constrain_max_step_length(pts, prop, 0.02, 0.5)
+
+    min_edge = 0.04
+    min_angle = math.radians(35.0)
+    frozen0 = jnp.zeros(topo.n_points, dtype=bool)
+    want = con.restrict_edge_shortening(pts, prop, td, min_edge, tmf,
+                                        frozen0)
+    want = con.restrict_min_edge_angle_decrease(pts, prop, td,
+                                               min_angle, want)
+
+    p4 = eng.pts4(pts)
+    prop4 = jnp.concatenate(
+        [to_planar(prop.astype(jnp.float32)),
+         jnp.zeros((1, to_planar(prop).shape[1]), jnp.float32)], axis=0)
+    fz = eng.freeze_constraints(
+        p4, prop4, jnp.zeros((1, p4.shape[1]), jnp.float32),
+        min_edge, tmf, min_angle, True)
+    got = from_planar(fz, topo.n_points)[:, 0] > 0.5
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("mesh", MESHES, ids=["hex", "prism"])
+def test_face_angles_per_point_match_xla(mesh):
+    from smoothmesh_tpu.ops import constraints as con
+
+    topo, td, pts, eng = _setup(mesh)
+    cc = geo.cell_centres(pts, td)
+    want_min, want_max = con.current_face_angles_per_point(pts, cc, td)
+
+    pp = to_planar(pts)
+    geom6, vm3 = eng.face_geometry(pp)
+    cc4 = eng.cell_centres_vols(geom6)
+    got_min, got_max = eng.face_angles_per_point(eng.pts4(pts), vm3, cc4)
+    # the u-space (cosine-pair) representation loses precision where
+    # the angle approaches pi (d acos / d cos -> inf) — far from the
+    # 35/160 degree freeze thresholds; 4e-4 rad bounds the drift there
+    np.testing.assert_allclose(np.asarray(got_min), np.asarray(want_min),
+                               rtol=0, atol=4e-4)
+    np.testing.assert_allclose(np.asarray(got_max), np.asarray(want_max),
+                               rtol=0, atol=4e-4)
