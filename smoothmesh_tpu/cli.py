@@ -252,12 +252,14 @@ def main(argv: Sequence[str] = None) -> int:
         if boundary_setup is not None:
             # AUTO_WRITE of classification checkpoints (reference
             # src/smoothMesh.C:2039-2077)
+            to_ext = getattr(smoother, "to_external_point_field",
+                             lambda a: a)
             case.write_label_io_list(
                 "isCornerPoint", t,
-                boundary_setup.is_corner.astype(np.int64))
+                to_ext(boundary_setup.is_corner).astype(np.int64))
             case.write_label_io_list(
                 "isFeatureEdgePoint", t,
-                boundary_setup.is_feature_edge.astype(np.int64))
+                to_ext(boundary_setup.is_feature_edge).astype(np.int64))
         print(f"Writing new mesh to time {t:g} ({out})")
         print()
 

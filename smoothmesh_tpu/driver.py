@@ -66,7 +66,8 @@ RAY_MISS_MSG = (
 
 def iteration_body(points, smoothing_surface, normals_state, td,
                    params: SmoothingParams, scale: float, do_boundary: bool,
-                   layer=None, bnd=None, sync=None, chunk=None):
+                   layer=None, bnd=None, sync=None, chunk=None,
+                   engine=None, engine_arrays=None):
     """One smoothing iteration (reference src/smoothMesh.C:2257-2437),
     pure function shared by the single-chip and sharded drivers.
 
@@ -91,16 +92,29 @@ def iteration_body(points, smoothing_surface, normals_state, td,
         normals_state, is_sharp = lay.accumulate_point_normals(
             points, td, normals_state, sync=sync)
 
-    cell_ctrs = geo.cell_centres(points, td)
-    cent = centroidal_smoothing(points, cell_ctrs, td, do_boundary,
-                                sync=sync)
-    prop = aspect_ratio_smoothing(points, cent, td, sync=sync)
-    if sync is not None:
-        # Pin shared points to the owning shard's proposal (see
-        # PointSync.consensus for why this deviation is safe)
-        prop = sync.consensus(prop)
-    prop = constrain_max_step_length(points, prop, max_step,
-                                     p.rel_step_frac)
+    pts4 = vm3 = cc4 = None
+    if engine is not None:
+        from smoothmesh_tpu.ops.tiled import from_planar
+
+        arr = engine_arrays
+        pts4 = engine.pts4(points)
+        geom6, vm3 = engine.face_geometry(arr, pts4[:3])
+        cc4 = engine.cell_centres_vols(arr, geom6)
+        cell_ctrs = from_planar(cc4[:3], engine.topo.n_cells)
+        prop4 = engine.predictor(arr, pts4, cc4, max_step,
+                                 p.rel_step_frac, do_boundary)
+        prop = from_planar(prop4[:3], points.shape[0])
+    else:
+        cell_ctrs = geo.cell_centres(points, td)
+        cent = centroidal_smoothing(points, cell_ctrs, td, do_boundary,
+                                    sync=sync)
+        prop = aspect_ratio_smoothing(points, cent, td, sync=sync)
+        if sync is not None:
+            # Pin shared points to the owning shard's proposal (see
+            # PointSync.consensus for why this deviation is safe)
+            prop = sync.consensus(prop)
+        prop = constrain_max_step_length(points, prop, max_step,
+                                         p.rel_step_frac)
 
     if layer is not None:
         big = jnp.asarray(1e18, points.dtype)
@@ -135,15 +149,37 @@ def iteration_body(points, smoothing_surface, normals_state, td,
         prop = constrain_max_step_length(points, prop, max_step,
                                          p.rel_step_frac)
 
-    frozen = restrict_edge_shortening(
-        points, prop, td, min_edge, p.total_min_freeze, frozen)
-    if p.edge_angle_constraint:
-        frozen = restrict_min_edge_angle_decrease(
-            points, prop, td, p.min_angle_rad, frozen)
-    if p.face_angle_constraint:
-        frozen = restrict_face_angle_deterioration(
-            points, cell_ctrs, prop, td, p.min_angle_rad,
-            p.max_angle_rad, frozen, chunk=chunk)
+    if engine is not None:
+        from smoothmesh_tpu.ops.tiled import from_planar, to_planar
+
+        N = points.shape[0]
+        prop4b = jnp.concatenate(
+            [to_planar(prop.astype(jnp.float32)),
+             jnp.zeros((1, pts4.shape[1]), jnp.float32)], axis=0)
+        frozen_pl = to_planar(frozen.astype(jnp.float32)[:, None])
+        frozen_pl = engine.freeze_constraints(
+            arr, pts4, prop4b, frozen_pl, min_edge,
+            p.total_min_freeze, p.min_angle_rad,
+            p.edge_angle_constraint)
+        frozen = from_planar(frozen_pl, N)[:, 0] > 0.5
+        if p.face_angle_constraint:
+            cur_minmax = engine.face_angles_per_point(arr, pts4, vm3,
+                                                      cc4)
+            fc_base = from_planar(vm3, engine.topo.n_faces)
+            frozen = restrict_face_angle_deterioration(
+                points, cell_ctrs, prop, td, p.min_angle_rad,
+                p.max_angle_rad, frozen, chunk=chunk, fc_base=fc_base,
+                cur_minmax=cur_minmax, u_space=True)
+    else:
+        frozen = restrict_edge_shortening(
+            points, prop, td, min_edge, p.total_min_freeze, frozen)
+        if p.edge_angle_constraint:
+            frozen = restrict_min_edge_angle_decrease(
+                points, prop, td, p.min_angle_rad, frozen)
+        if p.face_angle_constraint:
+            frozen = restrict_face_angle_deterioration(
+                points, cell_ctrs, prop, td, p.min_angle_rad,
+                p.max_angle_rad, frozen, chunk=chunk)
 
     if sync is not None:
         frozen = sync.or_(frozen)
@@ -197,7 +233,7 @@ class Smoother:
     """
 
     def __new__(cls, mesh, params, dtype=None, normalize=True, topo=None,
-                n_devices=1):
+                n_devices=1, use_tile_engine=None):
         # ``Smoother(..., n_devices=8)`` delegates to the sharded
         # driver (same surface API) instead of silently running
         # single-chip.
@@ -211,27 +247,52 @@ class Smoother:
     def __init__(self, mesh: PolyMesh, params: SmoothingParams,
                  dtype=None, normalize: bool = True,
                  topo: Optional[MeshTopology] = None,
-                 n_devices=1):
+                 n_devices=1, use_tile_engine: Optional[bool] = None):
         self.mesh = mesh
-        self.topo = topo if topo is not None else compile_topology(mesh)
-        self.td = to_device(self.topo)
-        self.stats = quality.mesh_stats(mesh.points, self.topo.edges)
-        self.params = params.resolve(self.stats.min_edge_length)
 
         if dtype is None:
             dtype = jnp.zeros(0).dtype  # respects jax_enable_x64
         self.dtype = jnp.dtype(dtype)
 
+        # Tile engine (ops/tiledstep.py): fused Pallas stages over the
+        # spatially-reordered mesh.  f32 only (the kernels select
+        # through 3-term bf16 splits, exact for f32); defaults on for
+        # real TPU runs, off for the float64 CPU reference path.
+        if use_tile_engine is None:
+            use_tile_engine = (self.dtype == jnp.float32
+                               and topo is None
+                               and jax.default_backend() == "tpu")
+        self._orders = None
+        mesh_int = mesh
+        if use_tile_engine and topo is None:
+            from smoothmesh_tpu.mesh.tiling import permute_mesh
+
+            mesh_int, self._orders = permute_mesh(mesh)
+        self.mesh_internal = mesh_int
+        self.use_tile_engine = bool(use_tile_engine)
+
+        self.topo = topo if topo is not None else compile_topology(mesh_int)
+        self.td = to_device(self.topo)
+        self.stats = quality.mesh_stats(mesh_int.points, self.topo.edges)
+        self.params = params.resolve(self.stats.min_edge_length)
+
         if normalize:
-            self._center = mesh.points.mean(axis=0)
+            self._center = mesh_int.points.mean(axis=0)
             self._scale = 1.0 / max(self.stats.min_edge_length, 1e-300)
         else:
             self._center = np.zeros(3)
             self._scale = 1.0
 
         self.points = jnp.asarray(
-            (mesh.points - self._center) * self._scale, dtype=self.dtype
+            (mesh_int.points - self._center) * self._scale,
+            dtype=self.dtype
         )
+        self.engine = None
+        if self.use_tile_engine:
+            from smoothmesh_tpu.ops.tiledstep import TiledEngine
+
+            self.engine = TiledEngine(
+                self.topo, interpret=jax.default_backend() != "tpu")
         # boundary points that are allowed to move (boundary smoothing);
         # none until the boundary pipeline is enabled
         self.smoothing_surface = jnp.zeros(self.topo.n_points, dtype=bool)
@@ -297,6 +358,13 @@ class Smoother:
 
         if target_edge_points is None:
             target_edge_points, target_edges = init_edge_points, init_edges
+        if self._orders is not None:
+            if checkpoint_corner is not None:
+                checkpoint_corner = np.asarray(
+                    checkpoint_corner)[self._orders.point_old]
+            if checkpoint_feature is not None:
+                checkpoint_feature = np.asarray(
+                    checkpoint_feature)[self._orders.point_old]
 
         bps.check_edge_mesh_sanity(init_edge_points, init_edges,
                                    self.stats.min_edge_length,
@@ -313,7 +381,7 @@ class Smoother:
             target_edge_points, target_edges,
             surf_vertices, surf_tris,
             self._layer_ids, smoothing_ids,
-            self.mesh.points, self.params.distance_tolerance,
+            self.mesh_internal.points, self.params.distance_tolerance,
             checkpoint_corner=checkpoint_corner,
             checkpoint_feature=checkpoint_feature,
         )
@@ -362,7 +430,18 @@ class Smoother:
     # -- coordinate transforms ---------------------------------------------
     def denormalize(self, pts=None) -> np.ndarray:
         q = np.asarray(self.points if pts is None else pts, dtype=np.float64)
-        return q / self._scale + self._center
+        q = q / self._scale + self._center
+        if self._orders is not None:
+            q = q[self._orders.point_new]          # back to original order
+        return q
+
+    def to_external_point_field(self, arr: np.ndarray) -> np.ndarray:
+        """Map a per-point array from internal (reordered) to the
+        original mesh point order (identity without the tile engine)."""
+        arr = np.asarray(arr)
+        if self._orders is None:
+            return arr
+        return arr[self._orders.point_new]
 
     # -- the jitted iteration ----------------------------------------------
     def _build_step(self):
@@ -375,11 +454,14 @@ class Smoother:
         dist_tol = (self.bnd or {}).get("distance_tolerance", 0.0)
         n_tri = (self.bnd or {}).get("n_tri", 0)
 
+        engine = self.engine
+
         # Topology and map arrays are jit *arguments*, not closure
         # constants: closed-over arrays embed as HLO literals, which
         # bloats programs to hundreds of MB at 1M+ cells (and overflows
         # the axon remote-compiler's upload limit).
-        def step(points, smoothing_surface, normals, td, layer, bnd):
+        def step(points, smoothing_surface, normals, td, layer, bnd,
+                 engine_arrays):
             layer_in = layer if has_layer else None
             if has_bnd:
                 bnd = dict(bnd)
@@ -390,7 +472,8 @@ class Smoother:
                 bnd_in = None
             return iteration_body(points, smoothing_surface, normals, td,
                                   p, s, do_boundary, layer=layer_in,
-                                  bnd=bnd_in, chunk=chunk)
+                                  bnd=bnd_in, chunk=chunk, engine=engine,
+                                  engine_arrays=engine_arrays)
 
         return step
 
@@ -405,7 +488,8 @@ class Smoother:
         t0 = time.time()
         new_points, normals, res, n_frozen, n_miss = self._step(
             self.points, self.smoothing_surface, self.normals, self.td,
-            self.layer or {}, self._bnd_arrays())
+            self.layer or {}, self._bnd_arrays(),
+            self.engine.arrays if self.engine is not None else {})
         res = float(res)  # host sync: completes the step
         wall = (time.time() - t0) * 1e3
         n_miss = int(n_miss)

@@ -121,6 +121,31 @@ def _acos_c(x):
     return jnp.arccos(jnp.clip(x, -ACOS_CLAMP, ACOS_CLAMP))
 
 
+def _pair_metric(a, b, u_space):
+    """The reference's acos(a) + acos(b) face-angle sum, or its
+    monotone u-space twin (the tile engine's encoding, see
+    ops/tiledstep._e_body): u = 1 - cos(A+B) when sin(A+B) >= 0 else
+    3 + cos(A+B).  Both are strictly increasing in the angle, so
+    min/max/threshold comparisons agree; u-space is used when the
+    current per-point angles come from the Pallas stages (Mosaic has
+    no acos) so current and proposed values share one representation.
+    """
+    if not u_space:
+        return _acos_c(a) + _acos_c(b)
+    a = jnp.clip(a, -ACOS_CLAMP, ACOS_CLAMP)
+    b = jnp.clip(b, -ACOS_CLAMP, ACOS_CLAMP)
+    sa = jnp.sqrt(1.0 - a * a)
+    sb = jnp.sqrt(1.0 - b * b)
+    cos_s = a * b - sa * sb
+    sin_s = sa * b + a * sb
+    return jnp.where(sin_s >= 0, 1.0 - cos_s, 3.0 + cos_s)
+
+
+def angle_to_u(theta: float) -> float:
+    """u-space image of an angle threshold in [0, pi]."""
+    return 1.0 - math.cos(theta)
+
+
 def simple_face_centres(points, td):
     """Per-face vertex means (reference calcFaceCenter
     src/smoothMesh.C:1103-1130 without substitutions) — the linear base
@@ -132,7 +157,7 @@ def simple_face_centres(points, td):
 
 
 def face_angles_for_edges(points, cell_ctrs, td, edge_ids, s1, c1, s2, c2,
-                          fc_base=None, with_subst=True):
+                          fc_base=None, with_subst=True, u_space=False):
     """Min/max projected face-face angle per edge with substitutions.
 
     Vectorized ``calcMinMaxFaceAngleForEdge`` (reference
@@ -205,10 +230,11 @@ def face_angles_for_edges(points, cell_ctrs, td, edge_ids, s1, c1, s2, c2,
     f1 = td["edge_cell_f1"][edge_ids]
     p0 = jnp.take_along_axis(p_vecs, f0[..., None], axis=1)
     p1 = jnp.take_along_axis(p_vecs, f1[..., None], axis=1)
-    ang = _acos_c(jnp.sum(p0 * c_vecs, axis=-1)) + _acos_c(
-        jnp.sum(c_vecs * p1, axis=-1))                  # (B, WC)
+    ang = _pair_metric(jnp.sum(p0 * c_vecs, axis=-1),
+                       jnp.sum(c_vecs * p1, axis=-1), u_space)  # (B, WC)
 
-    min_a = jnp.min(jnp.where(c_mask, ang, TWO_PI), axis=1)
+    big_ang = 4.0 if u_space else TWO_PI
+    min_a = jnp.min(jnp.where(c_mask, ang, big_ang), axis=1)
     max_a = jnp.max(jnp.where(c_mask, ang, 0.0), axis=1)
     return min_a, max_a
 
@@ -275,7 +301,7 @@ def current_face_angles_per_point(points, cell_ctrs, td, chunk=None,
 def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                                       min_angle_rad, max_angle_rad, frozen,
                                       chunk=None, fc_base=None,
-                                      cur_minmax=None):
+                                      cur_minmax=None, u_space=False):
     """Freeze points (and neighbours) whose moves deteriorate face-face
     angles already outside [min_angle, max_angle].
 
@@ -297,6 +323,20 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     else:
         cur_min_p, cur_max_p = current_face_angles_per_point(
             points, cell_ctrs, td, chunk=chunk, fc_base=fc_base)
+    if u_space:
+        # all angle-valued quantities (cur_minmax and every evaluation
+        # below) live in the monotone u encoding; thresholds map along
+        min_angle_rad = angle_to_u(min_angle_rad)
+        max_angle_rad = angle_to_u(max_angle_rad)
+    big_ang = 4.0 if u_space else TWO_PI
+    # Cross-path noise guard: with cur_minmax from the Pallas stages
+    # and the substituted evaluations from this XLA code, evaluations
+    # whose configuration is mathematically unchanged come out equal
+    # only up to ~1e-6 cross-path float32 noise — without a guard the
+    # strict new<cur comparisons flip randomly there (the single-path
+    # case compares bit-identical values).  1e-5 in u units ignores
+    # only sub-noise "deteriorations".
+    det_eps = 1e-5 if (u_space and cur_minmax is not None) else 0.0
     # Points already in good range never freeze anyone (reference :1367)
     active = (cur_min_p <= min_angle_rad) | (cur_max_p >= max_angle_rad)
 
@@ -304,8 +344,8 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
 
     def deteriorates(new_min, new_max):
         return (
-            ((new_min < min_angle_rad) & (new_min < cur_min_p))
-            | ((new_max > max_angle_rad) & (new_max > cur_max_p))
+            ((new_min < min_angle_rad) & (new_min < cur_min_p - det_eps))
+            | ((new_max > max_angle_rad) & (new_max > cur_max_p + det_eps))
         )
 
     # Full evaluations happen only for "active" points (the reference
@@ -452,7 +492,7 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                               for c in range(3)]
                     pv.append(proj_unit(fc))
 
-                mn_t = jnp.full_like(c_ctr[0], TWO_PI)
+                mn_t = jnp.full_like(c_ctr[0], big_ang)
                 mx_t = jnp.zeros_like(c_ctr[0])
                 for u in range(WC):
                     cv = proj_unit(cc[u])
@@ -460,7 +500,8 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                               for w in range(WF)) for c in range(3)]
                     p1 = [sum(jnp.where(f1[u] == w, pv[w][c], 0.0)
                               for w in range(WF)) for c in range(3)]
-                    ang = _acos_c(dot3(p0, cv)) + _acos_c(dot3(cv, p1))
+                    ang = _pair_metric(dot3(p0, cv), dot3(cv, p1),
+                                       u_space)
                     mn_t = jnp.where(c_mask[u], jnp.minimum(mn_t, ang),
                                      mn_t)
                     mx_t = jnp.where(c_mask[u], jnp.maximum(mx_t, ang),
@@ -481,7 +522,7 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
         T = len(minbufs)
         det = []
         for t in range(T):
-            mn_t = jnp.full(idx.shape, TWO_PI, dtype=dtype)
+            mn_t = jnp.full(idx.shape, big_ang, dtype=dtype)
             mx_t = jnp.zeros(idx.shape, dtype=dtype)
             for w in range(WE):
                 v_mn = minbufs[t][flat[:, w]]
@@ -490,8 +531,10 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                 mn_t = jnp.where(ok, jnp.minimum(mn_t, v_mn), mn_t)
                 mx_t = jnp.where(ok, jnp.maximum(mx_t, v_mx), mx_t)
             det.append(
-                ((mn_t < min_angle_rad) & (mn_t < cur_min_p[idx]))
-                | ((mx_t > max_angle_rad) & (mx_t > cur_max_p[idx]))
+                ((mn_t < min_angle_rad)
+                 & (mn_t < cur_min_p[idx] - det_eps))
+                | ((mx_t > max_angle_rad)
+                   & (mx_t > cur_max_p[idx] + det_eps))
             )
         return jnp.stack(det, axis=1)                    # (Kp, T)
 
@@ -521,7 +564,7 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
         return new_frozen, changed, minbuf, maxbuf
 
     def _new_bufs(T):
-        mn = tuple(jnp.full((2 * E,), TWO_PI, dtype=dtype)
+        mn = tuple(jnp.full((2 * E,), big_ang, dtype=dtype)
                    for _ in range(T))
         mx = tuple(jnp.zeros((2 * E,), dtype=dtype) for _ in range(T))
         return mn, mx

@@ -120,21 +120,26 @@ class TiledEngine:
     def __init__(self, topo, interpret: bool = False):
         self.topo = topo
         self.interpret = interpret
+        # All device arrays live here and are passed through jit as
+        # ARGUMENTS (closure constants embed as HLO literals and
+        # overflow the remote compiler at 1M+ cells — CLAUDE.md).
+        self.arrays = {}
+        A = self.arrays
         t = topo
 
         # ---- stage F: faces <- points --------------------------------
         self.f_pool, (self.f_codes,) = tiled.build_pool(
             t.n_faces, [(t.face_points, t.face_mask)], t.n_points)
-        self.f_mask = jnp.asarray(_planar_extra(t.face_mask))
+        A["f_mask"] = jnp.asarray(_planar_extra(t.face_mask))
         self.f_field = FieldSpec("pts", self.f_pool, 3)
         self._stage_f = stage_call(
             self._f_body, _nb(t.n_faces), [self.f_field],
             [self.f_codes.width], [6, 3],
             extra_in_specs=[_extra_spec(t.face_mask.shape[1])],
             interpret=interpret)
-        self._f_win = jnp.asarray(win_stack_for([self.f_field]))
-        self._f_codes_dev = jnp.asarray(self.f_codes.codes)
-        self._f_gids = jnp.asarray(self.f_pool.ghost_ids)
+        A["f_win"] = jnp.asarray(win_stack_for([self.f_field]))
+        A["f_codes"] = jnp.asarray(self.f_codes.codes)
+        A["f_gids"] = jnp.asarray(self.f_pool.ghost_ids)
 
         # ---- stage C: cells <- face geometry -------------------------
         self.c_pool, (self.c_codes,) = tiled.build_pool(
@@ -142,16 +147,16 @@ class TiledEngine:
         cell_ids = np.arange(t.n_cells, dtype=np.int64)[:, None]
         sign = np.where(t.owner[t.cell_faces] == cell_ids, 1.0, -1.0)
         sign = np.where(t.cell_faces_mask, sign, 0.0)
-        self.c_sign = jnp.asarray(_planar_extra(sign))
+        A["c_sign"] = jnp.asarray(_planar_extra(sign))
         self.c_field = FieldSpec("fgeom", self.c_pool, 6)
         self._stage_c = stage_call(
             self._c_body, _nb(t.n_cells), [self.c_field],
             [self.c_codes.width], [4],
             extra_in_specs=[_extra_spec(sign.shape[1])],
             interpret=interpret)
-        self._c_win = jnp.asarray(win_stack_for([self.c_field]))
-        self._c_codes_dev = jnp.asarray(self.c_codes.codes)
-        self._c_gids = jnp.asarray(self.c_pool.ghost_ids)
+        A["c_win"] = jnp.asarray(win_stack_for([self.c_field]))
+        A["c_codes"] = jnp.asarray(self.c_codes.codes)
+        A["c_gids"] = jnp.asarray(self.c_pool.ghost_ids)
 
         # ---- stage P: points <- cell centres + neighbour points ------
         self.p_cc_pool, (self.p_cc_codes,) = tiled.build_pool(
@@ -159,20 +164,20 @@ class TiledEngine:
         self.p_pp_pool, (self.p_pp_codes,) = tiled.build_pool(
             t.n_points, [(t.point_points, t.point_points_mask)],
             t.n_points)
-        self.p_pc_mask = jnp.asarray(_planar_extra(t.point_cells_mask))
-        self.p_pp_mask = jnp.asarray(_planar_extra(t.point_points_mask))
-        self.p_share = jnp.asarray(_planar_extra_i32(
+        A["p_pc_mask"] = jnp.asarray(_planar_extra(t.point_cells_mask))
+        A["p_pp_mask"] = jnp.asarray(_planar_extra(t.point_points_mask))
+        A["p_share"] = jnp.asarray(_planar_extra_i32(
             _share_cell_bits(t)))
         intern = t.is_internal_point.astype(np.float32)[:, None]
-        self.p_intern = jnp.asarray(_planar_extra(intern))
+        A["p_intern"] = jnp.asarray(_planar_extra(intern))
         self.p_cc_field = FieldSpec("cc", self.p_cc_pool, 4)
         self.p_pp_field = FieldSpec("pts4", self.p_pp_pool, 4)
-        self._p_win = jnp.asarray(win_stack_for(
+        A["p_win"] = jnp.asarray(win_stack_for(
             [self.p_cc_field, self.p_pp_field]))
-        self._p_codes_dev = [jnp.asarray(self.p_cc_codes.codes),
-                             jnp.asarray(self.p_pp_codes.codes)]
-        self._p_gids = (jnp.asarray(self.p_cc_pool.ghost_ids),
-                        jnp.asarray(self.p_pp_pool.ghost_ids))
+        A["p_cc_codes"] = jnp.asarray(self.p_cc_codes.codes)
+        A["p_pp_codes"] = jnp.asarray(self.p_pp_codes.codes)
+        A["p_cc_gids"] = jnp.asarray(self.p_cc_pool.ghost_ids)
+        A["p_pp_gids"] = jnp.asarray(self.p_pp_pool.ghost_ids)
         self._p_stage_cache = {}
 
         # ---- stage S: freeze constraints over the same pp pool -------
@@ -197,11 +202,11 @@ class TiledEngine:
                 raise AssertionError("wedge neighbour not in point_points")
             return match.argmax(axis=2)
 
-        self.s_prev_slot = jnp.asarray(_planar_extra_i32(
+        self.arrays["s_prev_slot"] = jnp.asarray(_planar_extra_i32(
             to_slots(t.wedge_prev)))
-        self.s_next_slot = jnp.asarray(_planar_extra_i32(
+        self.arrays["s_next_slot"] = jnp.asarray(_planar_extra_i32(
             to_slots(t.wedge_next)))
-        self.s_pf_mask = jnp.asarray(_planar_extra(pfm))
+        self.arrays["s_pf_mask"] = jnp.asarray(_planar_extra(pfm))
         self._s_stage_cache = {}
 
     def _get_stage_s(self, min_edge, total_min_freeze, min_angle_rad,
@@ -490,15 +495,16 @@ class TiledEngine:
     def _init_stage_e(self):
         """Face-angle current pass: edges <- endpoints + vm + cc."""
         t = self.topo
+        A = self.arrays
         self.e_pts_pool, (self.e_ep_codes,) = tiled.build_pool(
             t.n_edges, [(t.edges, None)], t.n_points)
         self.e_vm_pool, (self.e_ef_codes,) = tiled.build_pool(
             t.n_edges, [(t.edge_faces, t.edge_faces_mask)], t.n_faces)
         self.e_cc_pool, (self.e_ec_codes,) = tiled.build_pool(
             t.n_edges, [(t.edge_cells, t.edge_cells_mask)], t.n_cells)
-        self.e_ec_mask = jnp.asarray(_planar_extra(t.edge_cells_mask))
-        self.e_f0 = jnp.asarray(_planar_extra_i32(t.edge_cell_f0))
-        self.e_f1 = jnp.asarray(_planar_extra_i32(t.edge_cell_f1))
+        A["e_ec_mask"] = jnp.asarray(_planar_extra(t.edge_cells_mask))
+        A["e_f0"] = jnp.asarray(_planar_extra_i32(t.edge_cell_f0))
+        A["e_f1"] = jnp.asarray(_planar_extra_i32(t.edge_cell_f1))
         self.e_pts_field = FieldSpec("pts4", self.e_pts_pool, 4)
         self.e_vm_field = FieldSpec("vm", self.e_vm_pool, 3)
         self.e_cc_field = FieldSpec("cc", self.e_cc_pool, 4)
@@ -513,28 +519,28 @@ class TiledEngine:
                 _extra_spec(t.edge_cell_f1.shape[1]),
             ],
             interpret=self.interpret)
-        self._e_win = jnp.asarray(win_stack_for(
+        A["e_win"] = jnp.asarray(win_stack_for(
             [self.e_pts_field, self.e_vm_field, self.e_cc_field]))
-        self._e_codes_dev = [jnp.asarray(self.e_ep_codes.codes),
-                             jnp.asarray(self.e_ef_codes.codes),
-                             jnp.asarray(self.e_ec_codes.codes)]
-        self._e_gids = (jnp.asarray(self.e_pts_pool.ghost_ids),
-                        jnp.asarray(self.e_vm_pool.ghost_ids),
-                        jnp.asarray(self.e_cc_pool.ghost_ids))
+        A["e_ep_codes"] = jnp.asarray(self.e_ep_codes.codes)
+        A["e_ef_codes"] = jnp.asarray(self.e_ef_codes.codes)
+        A["e_ec_codes"] = jnp.asarray(self.e_ec_codes.codes)
+        A["e_pts_gids"] = jnp.asarray(self.e_pts_pool.ghost_ids)
+        A["e_vm_gids"] = jnp.asarray(self.e_vm_pool.ghost_ids)
+        A["e_cc_gids"] = jnp.asarray(self.e_cc_pool.ghost_ids)
 
         # stage R: per-point u-space min/max over point_edges
         self.r_pool, (self.r_codes,) = tiled.build_pool(
             t.n_points, [(t.point_edges, t.point_edges_mask)], t.n_edges)
-        self.r_pe_mask = jnp.asarray(_planar_extra(t.point_edges_mask))
+        A["r_pe_mask"] = jnp.asarray(_planar_extra(t.point_edges_mask))
         self.r_field = FieldSpec("ue", self.r_pool, 2)
         self._stage_r = stage_call(
             self._r_body, _nb(t.n_points), [self.r_field],
             [self.r_codes.width], [2],
             extra_in_specs=[_extra_spec(t.point_edges_mask.shape[1])],
             interpret=self.interpret)
-        self._r_win = jnp.asarray(win_stack_for([self.r_field]))
-        self._r_codes_dev = jnp.asarray(self.r_codes.codes)
-        self._r_gids = jnp.asarray(self.r_pool.ghost_ids)
+        A["r_win"] = jnp.asarray(win_stack_for([self.r_field]))
+        A["r_codes"] = jnp.asarray(self.r_codes.codes)
+        A["r_gids"] = jnp.asarray(self.r_pool.ghost_ids)
 
     def _e_body(self, ctx, ec_mask_ref, f0_ref, f1_ref):
         """Per-edge min/max projected face-face angle in u-space
@@ -704,19 +710,19 @@ class TiledEngine:
 
     # ---- public stage functions (jittable) -------------------------------
 
-    def face_geometry(self, pts_planar: jnp.ndarray):
+    def face_geometry(self, arr, pts_planar: jnp.ndarray):
         """-> (geom6 (6, F_pad) [fc|fa], vm3 (3, F_pad))."""
-        gh = ghosts_planar(pts_planar, self._f_gids)
-        return self._stage_f(self._f_win, [self._f_codes_dev],
-                             {"pts": (pts_planar, gh)}, self.f_mask)
+        gh = ghosts_planar(pts_planar, arr["f_gids"])
+        return self._stage_f(arr["f_win"], [arr["f_codes"]],
+                             {"pts": (pts_planar, gh)}, arr["f_mask"])
 
-    def cell_centres_vols(self, geom6: jnp.ndarray):
-        """-> cc4 (4, C_pad) [cc|3*vol... vol]."""
-        gh = ghosts_planar(geom6, self._c_gids)
-        return self._stage_c(self._c_win, [self._c_codes_dev],
-                             {"fgeom": (geom6, gh)}, self.c_sign)
+    def cell_centres_vols(self, arr, geom6: jnp.ndarray):
+        """-> cc4 (4, C_pad) [cc | vol]."""
+        gh = ghosts_planar(geom6, arr["c_gids"])
+        return self._stage_c(arr["c_win"], [arr["c_codes"]],
+                             {"fgeom": (geom6, gh)}, arr["c_sign"])
 
-    def predictor(self, pts4_planar: jnp.ndarray, cc4: jnp.ndarray,
+    def predictor(self, arr, pts4_planar: jnp.ndarray, cc4: jnp.ndarray,
                   max_step: float, rel_step_frac: float,
                   do_boundary: bool):
         """Centroidal + AR + limiter -> (4, N_pad) [proposal | curmin].
@@ -725,14 +731,14 @@ class TiledEngine:
         cc4: (4, C_pad) from cell_centres_vols.
         """
         fn = self._get_stage_p(max_step, rel_step_frac, do_boundary)
-        gh_cc = ghosts_planar(cc4, self._p_gids[0])
-        gh_pp = ghosts_planar(pts4_planar, self._p_gids[1])
-        return fn(self._p_win, self._p_codes_dev,
+        gh_cc = ghosts_planar(cc4, arr["p_cc_gids"])
+        gh_pp = ghosts_planar(pts4_planar, arr["p_pp_gids"])
+        return fn(arr["p_win"], [arr["p_cc_codes"], arr["p_pp_codes"]],
                   {"cc": (cc4, gh_cc), "pts4": (pts4_planar, gh_pp)},
-                  self.p_pc_mask, self.p_pp_mask, self.p_share,
-                  self.p_intern, pts4_planar)
+                  arr["p_pc_mask"], arr["p_pp_mask"], arr["p_share"],
+                  arr["p_intern"], pts4_planar)
 
-    def freeze_constraints(self, pts4_planar: jnp.ndarray,
+    def freeze_constraints(self, arr, pts4_planar: jnp.ndarray,
                            prop4: jnp.ndarray, frozen_in: jnp.ndarray,
                            min_edge: float, total_min_freeze: bool,
                            min_angle_rad: float, edge_angle_on: bool):
@@ -742,34 +748,40 @@ class TiledEngine:
         """
         fn = self._get_stage_s(min_edge, total_min_freeze,
                                min_angle_rad, edge_angle_on)
-        gh_cur = ghosts_planar(pts4_planar, self._p_gids[1])
-        gh_prop = ghosts_planar(prop4, self._p_gids[1])
-        win = jnp.asarray(win_stack_for(
-            [self.s_cur_field, self.s_prop_field]))
-        return fn(win, [self._p_codes_dev[1]],
+        gh_cur = ghosts_planar(pts4_planar, arr["p_pp_gids"])
+        gh_prop = ghosts_planar(prop4, arr["p_pp_gids"])
+        win = jnp.concatenate([arr["p_win"][1:2], arr["p_win"][1:2]],
+                              axis=0)
+        return fn(win, [arr["p_pp_codes"]],
                   {"cur4": (pts4_planar, gh_cur),
                    "prop4": (prop4, gh_prop)},
-                  self.p_pp_mask, self.s_pf_mask, self.s_prev_slot,
-                  self.s_next_slot, pts4_planar, prop4, frozen_in)
+                  arr["p_pp_mask"], arr["s_pf_mask"],
+                  arr["s_prev_slot"], arr["s_next_slot"], pts4_planar,
+                  prop4, frozen_in)
 
-    def face_angles_per_point(self, pts4_planar: jnp.ndarray,
+    def face_angles_per_point(self, arr, pts4_planar: jnp.ndarray,
                               vm3: jnp.ndarray, cc4: jnp.ndarray):
-        """Current per-point min/max face angles (radians, dense (N,)
-        pair) — twin of ops/constraints.current_face_angles_per_point.
+        """Current per-point min/max face angles in U-SPACE (dense (N,)
+        pair) — twin of ops/constraints.current_face_angles_per_point
+        up to the monotone u encoding.
         """
-        gh_p = ghosts_planar(pts4_planar, self._e_gids[0])
-        gh_v = ghosts_planar(vm3, self._e_gids[1])
-        gh_c = ghosts_planar(cc4, self._e_gids[2])
+        gh_p = ghosts_planar(pts4_planar, arr["e_pts_gids"])
+        gh_v = ghosts_planar(vm3, arr["e_vm_gids"])
+        gh_c = ghosts_planar(cc4, arr["e_cc_gids"])
         ue = self._stage_e(
-            self._e_win, self._e_codes_dev,
+            arr["e_win"],
+            [arr["e_ep_codes"], arr["e_ef_codes"], arr["e_ec_codes"]],
             {"pts4": (pts4_planar, gh_p), "vm": (vm3, gh_v),
              "cc": (cc4, gh_c)},
-            self.e_ec_mask, self.e_f0, self.e_f1)
-        gh_u = ghosts_planar(ue, self._r_gids)
-        up = self._stage_r(self._r_win, [self._r_codes_dev],
-                           {"ue": (ue, gh_u)}, self.r_pe_mask)
+            arr["e_ec_mask"], arr["e_f0"], arr["e_f1"])
+        gh_u = ghosts_planar(ue, arr["r_gids"])
+        up = self._stage_r(arr["r_win"], [arr["r_codes"]],
+                           {"ue": (ue, gh_u)}, arr["r_pe_mask"])
         n = self.topo.n_points
-        return (u_to_angle(up[0, :n]), u_to_angle(up[1, :n]))
+        # u-space values: feed restrict_face_angle_deterioration with
+        # u_space=True so current and proposed evaluations share the
+        # representation (use u_to_angle for human-readable radians)
+        return (up[0, :n], up[1, :n])
 
     def pts4(self, points: jnp.ndarray) -> jnp.ndarray:
         """(N, 3) -> (4, N_pad) planar with the is-internal flag."""
@@ -780,6 +792,6 @@ class TiledEngine:
     def cell_centres_dense(self, points: jnp.ndarray) -> jnp.ndarray:
         """Convenience twin of geometry.cell_centres: (N,3) -> (C,3)."""
         pp = to_planar(points.astype(jnp.float32))
-        geom6, _vm = self.face_geometry(pp)
-        cc4 = self.cell_centres_vols(geom6)
+        geom6, _vm = self.face_geometry(self.arrays, pp)
+        cc4 = self.cell_centres_vols(self.arrays, geom6)
         return from_planar(cc4[:3], self.topo.n_cells)

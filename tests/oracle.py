@@ -310,3 +310,202 @@ def blend_orthogonal(topo, points, new_points, hops, normals, outer_coords,
         ortho = outer_coords[p] + length * normals[p]
         out[p] = blend * ortho + (1 - blend) * new_points[p]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Full-iteration composition pieces (round 2): geometry, normals,
+# boundary projections — enough to run a complete reference iteration
+# (smoothMesh.C:2257-2437) in loop-level numpy.
+# ---------------------------------------------------------------------------
+
+def face_geometry(topo, points):
+    """OpenFOAM face centres/area vectors (primitiveMesh fan
+    decomposition; see smoothmesh_tpu.geometry.face_centres_areas)."""
+    F = topo.n_faces
+    centres = np.zeros((F, 3))
+    areas = np.zeros((F, 3))
+    for f in range(F):
+        pts = points[topo.face_points[f][topo.face_mask[f]]]
+        n = len(pts)
+        vm = pts.mean(axis=0)
+        if n == 3:
+            centres[f] = (pts[0] + pts[1] + pts[2]) / 3.0
+            areas[f] = 0.5 * np.cross(pts[1] - pts[0], pts[2] - pts[0])
+            continue
+        sum_n = np.zeros(3)
+        sum_a = 0.0
+        sum_ac = np.zeros(3)
+        for i in range(n):
+            p = pts[i]
+            nxt = pts[(i + 1) % n]
+            c = p + nxt + vm
+            nv = np.cross(nxt - p, vm - p)
+            a = np.linalg.norm(nv)
+            sum_n += nv
+            sum_a += a
+            sum_ac += a * c
+        if sum_a > 1e-18:
+            centres[f] = sum_ac / (3.0 * sum_a)
+            areas[f] = 0.5 * sum_n
+        else:
+            centres[f] = vm
+    return centres, areas
+
+
+def cell_centres(topo, points):
+    """OpenFOAM cell centres (face-pyramid decomposition)."""
+    fc, fa = face_geometry(topo, points)
+    C = topo.n_cells
+    out = np.zeros((C, 3))
+    for c in range(C):
+        faces = topo.cell_faces[c][topo.cell_faces_mask[c]]
+        ce = fc[faces].mean(axis=0)
+        vol3 = 0.0
+        num = np.zeros(3)
+        for f in faces:
+            sign = 1.0 if topo.owner[f] == c else -1.0
+            pyr3 = sign * np.dot(fa[f], fc[f] - ce)
+            vol3 += pyr3
+            num += pyr3 * (0.75 * fc[f] + 0.25 * ce)
+        out[c] = num / vol3 if abs(vol3) > 1e-30 else ce
+    return out
+
+
+def accumulate_normals(topo, points, prev_normals):
+    """Stateful boundary point normals (oBB.C:141-233, called per
+    iteration at smoothMesh.C:2266 without reset)."""
+    _fc, fa = face_geometry(topo, points)
+    normals = prev_normals.copy()
+    n_faces = np.zeros(topo.n_points, dtype=int)
+    add = np.zeros((topo.n_points, 3))
+    for f in range(topo.n_faces):
+        pid = topo.face_patch[f]
+        if pid < 0:
+            continue
+        if topo.patch_types[pid] in ("processor", "empty"):
+            continue
+        mag = np.linalg.norm(fa[f])
+        unit = fa[f] / max(mag, 1e-30)
+        for p in topo.face_points[f][topo.face_mask[f]]:
+            add[p] -= unit
+            n_faces[p] += 1
+    normals += add
+    is_sharp = np.zeros(topo.n_points, dtype=bool)
+    for p in range(topo.n_points):
+        if n_faces[p] < 1:
+            continue
+        mag = np.linalg.norm(normals[p])
+        if mag < 0.1:
+            normals[p] = 0.0
+            is_sharp[p] = True
+        elif mag > 0:
+            normals[p] /= mag
+    return normals, is_sharp
+
+
+def _project_to_segment(p, a, b):
+    d = b - a
+    L2 = np.dot(d, d)
+    t = 0.0 if L2 < 1e-300 else np.clip(np.dot(p - a, d) / L2, 0.0, 1.0)
+    q = a + t * d
+    return q, np.linalg.norm(p - q)
+
+
+def project_boundary(topo, setup, points, proposed, normals, is_sharp,
+                     frozen, max_dist):
+    """Priority projection of boundary points (bPS.C:843-945)."""
+    out = proposed.copy()
+    frozen = frozen.copy()
+    ea = setup.target_edge_points[setup.target_edges[:, 0]]
+    eb = setup.target_edge_points[setup.target_edges[:, 1]]
+    estr = setup.target_edge_strings
+
+    # feature-edge projection sums (bPS.C:623-677), from CURRENT coords
+    sums = np.zeros((topo.n_points, 3))
+    counts = np.zeros(topo.n_points, dtype=int)
+    for p in range(topo.n_points):
+        if not setup.is_feature_edge[p]:
+            continue
+        for w in range(setup.feat_neigh.shape[1]):
+            if not setup.feat_neigh_mask[p, w]:
+                continue
+            q = setup.feat_neigh[p, w]
+            best = None
+            bestd = np.inf
+            for e in range(len(ea)):
+                if setup.point_strings[p] >= 0 and \
+                        estr[e] != setup.point_strings[p]:
+                    continue
+                proj, d = _project_to_segment(points[q], ea[e], eb[e])
+                if d < bestd:
+                    bestd, best = d, proj
+            if best is not None:
+                sums[p] += best
+                counts[p] += 1
+
+    no_hit = np.zeros(topo.n_points, dtype=bool)
+    for p in range(topo.n_points):
+        if topo.is_internal_point[p]:
+            continue
+        if setup.is_corner[p]:
+            out[p] = setup.corner_targets[p]
+        elif setup.is_feature_edge[p]:
+            if counts[p] > 0:
+                out[p] = sums[p] / counts[p]
+        elif is_sharp[p] and not setup.is_corner[p]:
+            frozen[p] = True
+        elif setup.is_smoothing_surface[p]:
+            hit = _raycast(out[p], normals[p], max_dist,
+                           setup.surf_tri_a, setup.surf_tri_b,
+                           setup.surf_tri_c)
+            if hit is None:
+                frozen[p] = True
+                no_hit[p] = True
+            else:
+                out[p] = hit
+    return out, frozen, no_hit
+
+
+def _raycast(o, d, max_dist, ta, tb, tc):
+    best_t = np.inf
+    best = None
+    for i in range(len(ta)):
+        e1 = tb[i] - ta[i]
+        e2 = tc[i] - ta[i]
+        pv = np.cross(d, e2)
+        det = np.dot(e1, pv)
+        if abs(det) <= 1e-12:
+            continue
+        inv = 1.0 / det
+        s = o - ta[i]
+        u = np.dot(s, pv) * inv
+        qv = np.cross(s, e1)
+        v = np.dot(d, qv) * inv
+        t = np.dot(e2, qv) * inv
+        if u < -1e-9 or v < -1e-9 or u + v > 1 + 1e-9:
+            continue
+        if abs(t) <= max_dist and abs(t) < abs(best_t):
+            best_t = t
+            best = o + t * d
+    return best
+
+
+def project_prismatic(topo, setup, maps, new_points, normals, is_sharp,
+                      points, blend_frac):
+    """projectPrismaticInternalPointsToSurfaces (oBB.C:573-633)."""
+    out = new_points.copy()
+    for p in range(topo.n_points):
+        if not (setup.is_smoothing_surface[p] and setup.is_connected[p]):
+            continue
+        if maps.inner_map[p] < 0:
+            continue
+        if setup.is_feature_edge[p] or setup.is_corner[p] or is_sharp[p]:
+            continue
+        if np.all(normals[p] == 0.0):
+            continue
+        inner = points[maps.inner_map[p]]
+        nv = out[p] - inner
+        pvec = nv - np.dot(nv, normals[p]) * normals[p]
+        proj = out[p] - pvec
+        out[p] = blend_frac * proj + (1 - blend_frac) * out[p]
+    return out
