@@ -99,13 +99,15 @@ class PolyMesh:
 
 
 def read_polymesh(mesh_dir: str) -> PolyMesh:
-    points = ff.parse_vector_field(ff.load_body(os.path.join(mesh_dir, "points")))
-    face_flat, face_offsets = ff.parse_face_list(
-        ff.load_body(os.path.join(mesh_dir, "faces"))
+    """Read a polyMesh directory; ascii and binary formats both load
+    (binary via the faceCompactIOList/raw-list readers in foamfile)."""
+    points = ff.read_vector_field_file(os.path.join(mesh_dir, "points"))
+    face_flat, face_offsets = ff.read_face_list_file(
+        os.path.join(mesh_dir, "faces")
     )
-    owner = ff.parse_label_list(ff.load_body(os.path.join(mesh_dir, "owner")))
-    neighbour = ff.parse_label_list(
-        ff.load_body(os.path.join(mesh_dir, "neighbour"))
+    owner = ff.read_label_list_file(os.path.join(mesh_dir, "owner"))
+    neighbour = ff.read_label_list_file(
+        os.path.join(mesh_dir, "neighbour")
     )
     raw_patches = ff.parse_boundary(ff.load_body(os.path.join(mesh_dir, "boundary")))
     patches = [
@@ -123,24 +125,29 @@ def read_polymesh(mesh_dir: str) -> PolyMesh:
 
 
 def write_polymesh(mesh_dir: str, mesh: PolyMesh,
-                   points: Optional[np.ndarray] = None) -> None:
+                   points: Optional[np.ndarray] = None,
+                   binary: bool = False) -> None:
     """Write a full polyMesh directory (or just new points if unchanged).
 
     Point precision matches the reference's forced >=10 digits
-    (reference src/smoothMesh.C:2425).
+    (reference src/smoothMesh.C:2425).  ``binary=True`` writes the
+    OpenFOAM binary format (raw lists + faceCompactIOList faces).
     """
     pts = mesh.points if points is None else points
     loc = os.path.basename(os.path.dirname(mesh_dir)) or "constant"
     loc = f"{loc}/polyMesh"
     ff.write_vector_field(os.path.join(mesh_dir, "points"),
-                          "vectorField", "points", loc, pts)
+                          "vectorField", "points", loc, pts,
+                          binary=binary)
     ff.write_face_list(os.path.join(mesh_dir, "faces"),
                        "faceList", "faces", loc,
-                       mesh.face_flat, mesh.face_offsets)
+                       mesh.face_flat, mesh.face_offsets, binary=binary)
     ff.write_label_list(os.path.join(mesh_dir, "owner"),
-                        "labelList", "owner", loc, mesh.owner)
+                        "labelList", "owner", loc, mesh.owner,
+                        binary=binary)
     ff.write_label_list(os.path.join(mesh_dir, "neighbour"),
-                        "labelList", "neighbour", loc, mesh.neighbour)
+                        "labelList", "neighbour", loc, mesh.neighbour,
+                        binary=binary)
     ff.write_boundary(
         os.path.join(mesh_dir, "boundary"), loc,
         [

@@ -24,6 +24,49 @@ def test_polymesh_roundtrip(tmp_path):
     assert [p.n_faces for p in back.patches] == [p.n_faces for p in mesh.patches]
 
 
+def test_polymesh_binary_roundtrip(tmp_path):
+    """Binary polyMesh (raw lists + faceCompactIOList faces): write with
+    our binary writer, read back bit-exact (VERDICT r1 item 10)."""
+    mesh = hex_block(n=(3, 2, 2), grading=(2.0, 1.0, 1.0),
+                     patches={"walls": ["xmin", "xmax", "ymin", "ymax"],
+                              "top": ["zmax"], "bot": ["zmin"]})
+    d = str(tmp_path / "polyMesh")
+    write_polymesh(d, mesh, binary=True)
+    # header advertises the binary format + arch note
+    with open(tmp_path / "polyMesh" / "points", "rb") as f:
+        head = f.read(512)
+    assert b"format      binary;" in head
+    assert b'arch        "LSB;label=32;scalar=64";' in head
+    back = read_polymesh(d)
+    assert np.array_equal(back.points, mesh.points)  # f64 raw: bit-exact
+    assert np.array_equal(back.face_flat, mesh.face_flat)
+    assert np.array_equal(back.face_offsets, mesh.face_offsets)
+    assert np.array_equal(back.owner, mesh.owner)
+    assert np.array_equal(back.neighbour, mesh.neighbour)
+    assert [p.name for p in back.patches] == ["walls", "top", "bot"]
+
+
+def test_polymesh_binary_label64(tmp_path):
+    """A binary mesh written with 64-bit labels (arch label=64) reads
+    correctly — the reader honours the header's arch note."""
+    mesh = hex_block(n=(2, 2, 2))
+    d = str(tmp_path / "polyMesh")
+    write_polymesh(d, mesh, binary=True)
+    # Rewrite owner with 64-bit labels + patched arch note
+    from smoothmesh_tpu.io import foamfile as ff
+
+    path = str(tmp_path / "polyMesh" / "owner")
+    hdr = ff._header("labelList", "owner", "constant/polyMesh",
+                     binary=True).replace("label=32", "label=64")
+    with open(path, "wb") as f:
+        f.write(hdr.encode())
+        f.write(f"{len(mesh.owner)}\n(".encode())
+        f.write(np.ascontiguousarray(mesh.owner, dtype="<i8").tobytes())
+        f.write(b")\n")
+    back = read_polymesh(d)
+    assert np.array_equal(back.owner, mesh.owner)
+
+
 def test_obj_surface_reader(tmp_path):
     p = tmp_path / "surf.obj"
     p.write_text(
