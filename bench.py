@@ -34,6 +34,37 @@ ITERS = int(os.environ.get("SMOOTHMESH_BENCH_ITERS", "10"))
 REFERENCE_CPU_POINTS_PER_SEC = 1.1e5
 
 
+def _dome_geometry():
+    """In-process target surface + border edge mesh over the unit top
+    face (the testcase4 pattern) for the boundary bench mode."""
+    def dome_z(x, y):
+        return 1.0 + 0.1 * np.sin(np.pi * x) * np.sin(np.pi * y)
+
+    k = 64
+    xs = np.linspace(-0.2, 1.2, k)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    Z = dome_z(np.clip(X, 0, 1), np.clip(Y, 0, 1))
+    V = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+    tris = []
+    for i in range(k - 1):
+        for j in range(k - 1):
+            a = i * k + j
+            tris.append((a, a + k, a + 1))
+            tris.append((a + 1, a + k, a + k + 1))
+    corners = [(0, 0), (1, 0), (1, 1), (0, 1)]
+    bpts, bedges = [], []
+    kb = 33
+    for s in range(4):
+        x0, y0 = corners[s]
+        x1, y1 = corners[(s + 1) % 4]
+        base = len(bpts)
+        for t in np.linspace(0, 1, kb):
+            bpts.append((x0 + t * (x1 - x0), y0 + t * (y1 - y0), 1.0))
+        for i in range(kb - 1):
+            bedges.append((base + i, base + i + 1))
+    return V, np.array(tris), np.array(bpts), np.array(bedges)
+
+
 def main() -> int:
     import jax
 
@@ -50,8 +81,17 @@ def main() -> int:
     from smoothmesh_tpu.mesh.blockmesh import hex_block, perturb
     from smoothmesh_tpu.params import SmoothingParams
 
+    # SMOOTHMESH_BENCH_BOUNDARY=1 additionally enables layer treatment
+    # and boundary smoothing (Pallas ray cast + layer pipeline) so the
+    # full feature set has a recorded TPU perf artifact.
+    boundary_mode = os.environ.get("SMOOTHMESH_BENCH_BOUNDARY") == "1"
+
     t0 = time.time()
-    base = hex_block(n=(N_SIDE, N_SIDE, N_SIDE), grading=(2.0, 1.0, 0.5))
+    patches = ({"top": ["zmax"],
+                "rest": ["xmin", "xmax", "ymin", "ymax", "zmin"]}
+               if boundary_mode else "default")
+    base = hex_block(n=(N_SIDE, N_SIDE, N_SIDE), grading=(2.0, 1.0, 0.5),
+                     patches=patches)
     # Distort by a fraction of the smallest cell size: a realistic
     # low-quality input (the un-normalized 0.2/N amplitude used before
     # produced a near-degenerate mesh at large N)
@@ -62,8 +102,16 @@ def main() -> int:
     gen_t = time.time() - t0
 
     t0 = time.time()
-    params = SmoothingParams(centroidal_iters=ITERS, rel_tol=0.0)
+    if boundary_mode:
+        params = SmoothingParams(centroidal_iters=ITERS, rel_tol=0.0,
+                                 smoothing_patches=("top",),
+                                 layer_patches=("top",),
+                                 min_angle=15.0, ray_miss_fatal=False)
+    else:
+        params = SmoothingParams(centroidal_iters=ITERS, rel_tol=0.0)
     sm = Smoother(mesh, params, dtype=np.float32)
+    if boundary_mode:
+        sm.enable_boundary_smoothing(*_dome_geometry())
     compile_t = time.time() - t0
 
     # Warmup (compile)
@@ -109,6 +157,7 @@ def main() -> int:
             "detail": {
                 "n_points": n_points,
                 "n_cells": mesh.n_cells,
+                "mode": "boundary+layers" if boundary_mode else "internal",
                 "iters": ITERS,
                 "mesh_gen_s": round(gen_t, 2),
                 "topo_compile_s": round(compile_t, 2),

@@ -77,8 +77,11 @@ def _kernel(o_ref, d_ref, tri_ref, lim_ref, tpos_ref, tneg_ref, *, n_tri):
 
         tri_ids = (k * TRI_TILE
                    + jax.lax.broadcasted_iota(jnp.int32, t.shape, 1))
-        ok = ((jnp.abs(det) > _EPS) & (u >= -1e-9) & (v >= -1e-9)
-              & (u + v <= 1 + 1e-9) & (tri_ids < n_tri))
+        # f32 barycentric crack tolerance (see
+        # boundary.segment_triangle_hits): 1e-9 is sub-ulp at f32 and
+        # drops rays hitting exactly on shared triangle edges
+        ok = ((jnp.abs(det) > _EPS) & (u >= -1e-5) & (v >= -1e-5)
+              & (u + v <= 1 + 1e-5) & (tri_ids < n_tri))
         t = jnp.where(ok, t, inf)
         tpos = jnp.minimum(
             tpos, jnp.min(jnp.where((t >= 0) & (t <= max_dist), t, inf),

@@ -158,10 +158,17 @@ def build_shards(mesh: PolyMesh, n_shards: int,
         is_internal_local = is_internal_local[order]
         is_proc = is_proc[order]
 
-        # Local points
-        sel_entries = np.concatenate(
-            [flat[offs[f]: offs[f + 1]] for f in face_ids]
-        ) if len(face_ids) else np.zeros(0, dtype=np.int64)
+        # Local points — vectorized ragged gather over the shard faces
+        # (this was a per-face Python loop; at 10M cells / ~30M faces
+        # that is interpreter-bound — VERDICT r1 item 5)
+        counts = offs[face_ids + 1] - offs[face_ids]
+        starts = offs[face_ids]
+        out_off = np.zeros(len(face_ids) + 1, dtype=np.int64)
+        np.cumsum(counts, out=out_off[1:])
+        total = int(out_off[-1])
+        rep_row = np.repeat(np.arange(len(face_ids)), counts)
+        within = np.arange(total, dtype=np.int64) - out_off[rep_row]
+        sel_entries = flat[starts[rep_row] + within]
         gids = np.unique(sel_entries)
         l2g.append(gids)
         g2l = np.full(mesh.n_points, -1, dtype=np.int64)
@@ -174,22 +181,19 @@ def build_shards(mesh: PolyMesh, n_shards: int,
 
         # Build local face list; flip faces owned by off-shard cells so
         # the local owner is always on-shard (normal outward)
-        new_flat = []
-        new_offsets = [0]
-        new_owner = []
-        new_neighbour = []
-        for k, f in enumerate(face_ids):
-            pts = flat[offs[f]: offs[f + 1]]
-            o, n = owner[f], (neighbour[f] if f < Fi else -1)
-            if cell_shard[o] != d:
-                # neighbour must be local; flip orientation
-                pts = pts[::-1]
-                o, n = n, o
-            if is_internal_local[k]:
-                new_neighbour.append(c2l[n])
-            new_owner.append(c2l[o])
-            new_flat.extend(g2l[pts])
-            new_offsets.append(new_offsets[-1] + len(pts))
+        o = owner[face_ids]
+        if Fi > 0:
+            n = np.where(face_ids < Fi,
+                         neighbour[np.minimum(face_ids, Fi - 1)], -1)
+        else:
+            n = np.full(len(face_ids), -1, dtype=np.int64)
+        flips = cell_shard[o] != d       # neighbour must be local; flip
+        within_f = np.where(flips[rep_row],
+                            counts[rep_row] - 1 - within, within)
+        new_flat = g2l[flat[starts[rep_row] + within_f]]
+        new_owner = c2l[np.where(flips, n, o)]
+        new_neighbour = c2l[np.where(flips, o, n)[is_internal_local]]
+        new_offsets = out_off
 
         # Patches: original real patches (in order), then procBoundary
         patches = []

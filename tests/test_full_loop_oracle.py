@@ -125,10 +125,18 @@ def _oracle_iteration(topo, setup, maps, points, normals, params,
 
 def test_full_iteration_driver_matches_oracle():
     m, V, tris, bpts, bedges = _fixture()
+    # rel_step_frac=1.0 keeps the limiter CONTINUOUS at |step| ==
+    # maxStepLength (reference smoothMesh.C:731-741: at the default 0.5
+    # the scale jumps 0.5 -> 1.0 exactly at the threshold, and since
+    # limited steps sit exactly ON the threshold at the next limiter
+    # call, any 1-ulp cross-implementation difference flips the branch
+    # into a 2x step difference — a property of the reference
+    # algorithm, not a bug).  All limiter code paths still execute.
     params = SmoothingParams(
         centroidal_iters=5, rel_tol=0.0,
         smoothing_patches=("top",), layer_patches=("top",),
         internal_smoothing_blending_fraction=0.5,
+        rel_step_frac=1.0,
         min_angle=35.0, max_angle=160.0)
     sm = Smoother(m, params, dtype=np.float64, normalize=False,
                   use_tile_engine=False)

@@ -25,10 +25,15 @@ def test_case_runs_and_mesh_valid(name):
     sm, res = _run(tc)
     out = sm.denormalize()
     assert np.isfinite(res.residual)
+    before = check_mesh(jnp.asarray(
+        sm.transform(tc.mesh.points).astype(np.float64)), sm.td)
     rep = check_mesh(jnp.asarray(sm.points), sm.td)
     assert rep["n_negative_volumes"] == 0, (name, rep)
-    assert rep["max_non_ortho_deg"] < 70.0, (name, rep)
+    assert rep["max_non_ortho_deg"] < tc.max_non_ortho, (name, rep)
     assert rep["max_skewness"] < 4.0, (name, rep)
+    if tc.require_improvement:
+        assert rep["avg_non_ortho_deg"] < before["avg_non_ortho_deg"], (
+            name, before["avg_non_ortho_deg"], rep["avg_non_ortho_deg"])
     # Note: centroidal smoothing may trade orthogonality for spacing
     # uniformity on graded meshes, and layer treatment trades global
     # non-ortho for layer orthogonality (the reference behaves the
