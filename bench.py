@@ -85,6 +85,14 @@ def main() -> int:
     # and boundary smoothing (Pallas ray cast + layer pipeline) so the
     # full feature set has a recorded TPU perf artifact.
     boundary_mode = os.environ.get("SMOOTHMESH_BENCH_BOUNDARY") == "1"
+    # SMOOTHMESH_BENCH_CPU=1: the measured CPU baseline leg — the same
+    # workload on the host CPU (XLA CPU, float64, XLA path), i.e. the
+    # serial reference-algorithm stand-in.  See BASELINE.md for how the
+    # measured number anchors REFERENCE_CPU_POINTS_PER_SEC.
+    cpu_mode = os.environ.get("SMOOTHMESH_BENCH_CPU") == "1"
+    if cpu_mode:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
 
     t0 = time.time()
     patches = ({"top": ["zmax"],
@@ -109,19 +117,21 @@ def main() -> int:
                                  min_angle=15.0, ray_miss_fatal=False)
     else:
         params = SmoothingParams(centroidal_iters=ITERS, rel_tol=0.0)
-    sm = Smoother(mesh, params, dtype=np.float32)
+    sm = Smoother(mesh, params,
+                  dtype=np.float64 if cpu_mode else np.float32,
+                  use_tile_engine=False if cpu_mode else None)
     if boundary_mode:
         sm.enable_boundary_smoothing(*_dome_geometry())
     compile_t = time.time() - t0
 
-    # Warmup (compile)
+    # Warmup (compile) — batched dispatch (iter_batch iterations per
+    # device call; bitwise-identical to per-iteration stepping)
     t0 = time.time()
-    sm.step()
+    sm.steps(sm.iter_batch)
     warm_t = time.time() - t0
 
     t0 = time.time()
-    for _ in range(ITERS):
-        r = sm.step()
+    r = sm.steps(ITERS)[-1]
     jax.block_until_ready(sm.points)
     run_t = time.time() - t0
 
@@ -137,15 +147,16 @@ def main() -> int:
     resid_after = r.residual
     cap = int(os.environ.get("SMOOTHMESH_BENCH_CONVERGE_CAP", "100"))
     rr = r
-    extra = 0
-    while rr.residual >= 0.02 and extra < cap:
-        rr = sm.step()
-        extra += 1
+    if rr.residual >= 0.02:
+        probe = sm.steps(cap)   # steps() stops at the converged iter
+        if probe:
+            rr = probe[-1]
     resid_after = rr.residual
     if rr.residual < 0.02:
         iters_to_tol = rr.iteration
     result = {
-        "metric": "point_updates_per_sec_per_chip",
+        "metric": ("cpu_point_updates_per_sec_per_core" if cpu_mode
+                   else "point_updates_per_sec_per_chip"),
         "value": round(updates_per_sec, 1),
         "unit": "points/s",
         "vs_baseline": round(updates_per_sec / REFERENCE_CPU_POINTS_PER_SEC,

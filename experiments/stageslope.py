@@ -84,12 +84,11 @@ def mix_scalar(x, y):
     return x + 1e-20 * y.reshape(-1)[0]
 
 
-slope("F: face geometry", lambda p4, i: mix_scalar(
-    p4, eng.face_geometry(arr, p4[:3])[0]), pts4)
-slope("C: cell centres", lambda g6, i: mix(
-    g6, jnp.concatenate([eng.cell_centres_vols(arr, g6),
-                         jnp.zeros((2, g6.shape[1]), jnp.float32)],
-                        axis=0)), geom6)
+if os.environ.get("SKIP_F") != "1":
+    slope("F: face geometry", lambda p4, i: mix_scalar(
+        p4, eng.face_geometry(arr, p4[:3])[0]), pts4)
+slope("C: cell centres", lambda g6, i: mix_scalar(
+    g6, eng.cell_centres_vols(arr, g6)), geom6)
 slope("P: predictor", lambda p4, i: mix(
     p4, eng.predictor(arr, p4, cc4, MAX_STEP, REL, False)), pts4)
 slope("S: freeze", lambda p4, i: mix_scalar(

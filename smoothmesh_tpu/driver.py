@@ -22,6 +22,7 @@ the information the reference prints.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Callable, Optional
 
@@ -153,10 +154,19 @@ def iteration_body(points, smoothing_surface, normals_state, td,
         from smoothmesh_tpu.ops.tiled import from_planar, to_planar
 
         N = points.shape[0]
-        prop4b = jnp.concatenate(
-            [to_planar(prop.astype(jnp.float32)),
-             jnp.zeros((1, pts4.shape[1]), jnp.float32)], axis=0)
-        frozen_pl = to_planar(frozen.astype(jnp.float32)[:, None])
+        if layer is None and bnd is None:
+            # proposal untouched since the predictor: reuse its planar
+            # output directly (row 3 = cur-min-edge is never read by
+            # stage S) — skips a planar->dense->planar round trip
+            prop4b = prop4
+        else:
+            prop4b = jnp.concatenate(
+                [to_planar(prop.astype(jnp.float32)),
+                 jnp.zeros((1, pts4.shape[1]), jnp.float32)], axis=0)
+        if bnd is None:
+            frozen_pl = jnp.zeros((1, pts4.shape[1]), jnp.float32)
+        else:
+            frozen_pl = to_planar(frozen.astype(jnp.float32)[:, None])
         frozen_pl = engine.freeze_constraints(
             arr, pts4, prop4b, frozen_pl, min_edge,
             p.total_min_freeze, p.min_angle_rad,
@@ -317,6 +327,12 @@ class Smoother:
 
         self.face_angle_chunk = default_face_angle_chunk(self.topo)
         self._step = jax.jit(self._build_step())
+        # iterations per dispatch in run()/steps(): amortizes the
+        # per-dispatch host+tunnel overhead (convergence semantics are
+        # preserved by in-scan passthrough; see _build_batch)
+        self.iter_batch = int(os.environ.get("SMOOTHMESH_ITER_BATCH",
+                                             "8"))
+        self._batch = None
         self._iteration = 0
 
     def _setup_maps(self) -> None:
@@ -425,6 +441,7 @@ class Smoother:
         self.smoothing_surface = jnp.asarray(setup.is_smoothing_surface)
         self.do_boundary_smoothing = True
         self._step = jax.jit(self._build_step())
+        self._batch = None
         return setup
 
     # -- coordinate transforms ---------------------------------------------
@@ -483,6 +500,114 @@ class Smoother:
         return {k: v for k, v in self.bnd.items()
                 if k not in ("distance_tolerance", "n_tri")}
 
+    def _build_batch(self):
+        """B iterations per dispatch (lax.scan), preserving the
+        reference's stop-at-convergence semantics: once an iteration's
+        residual drops below relTol (or a ray-cast miss must abort),
+        later scan steps pass state through unchanged.  Amortizes the
+        per-dispatch host/tunnel overhead across B iterations.
+        ``n_valid`` (traced) caps how many scan steps execute so write
+        boundaries and centroidalIters need no recompilation.
+        """
+        p = self.params
+        s = self._scale
+        do_boundary = self.do_boundary_smoothing
+        chunk = self.face_angle_chunk
+        has_layer = self.layer is not None
+        has_bnd = self.bnd is not None
+        dist_tol = (self.bnd or {}).get("distance_tolerance", 0.0)
+        n_tri = (self.bnd or {}).get("n_tri", 0)
+        engine = self.engine
+        fatal_miss = bool(p.ray_miss_fatal) and has_bnd
+        B = self.iter_batch
+
+        def batch(points, smoothing_surface, normals, td, layer, bnd,
+                  engine_arrays, n_valid):
+            layer_in = layer if has_layer else None
+            if has_bnd:
+                bnd = dict(bnd)
+                bnd["distance_tolerance"] = dist_tol
+                bnd["n_tri"] = n_tri
+                bnd_in = bnd
+            else:
+                bnd_in = None
+
+            def live(carry):
+                pts, norms, _done = carry
+                np_, nn, res, nf, nm = iteration_body(
+                    pts, smoothing_surface, norms, td, p, s,
+                    do_boundary, layer=layer_in, bnd=bnd_in,
+                    chunk=chunk, engine=engine,
+                    engine_arrays=engine_arrays)
+                stop = res < p.rel_tol
+                if fatal_miss:
+                    stop = stop | (nm > 0)
+                return (np_, nn, stop), (
+                    res.astype(points.dtype), nf.astype(jnp.int32),
+                    nm.astype(jnp.int32), jnp.asarray(True))
+
+            def dead(carry):
+                zero = jnp.asarray(0, jnp.int32)
+                return carry, (jnp.asarray(jnp.nan, points.dtype), zero,
+                               zero, jnp.asarray(False))
+
+            def body(carry, i):
+                return jax.lax.cond(carry[2] | (i >= n_valid), dead,
+                                    live, carry)
+
+            carry0 = (points, normals, jnp.asarray(False))
+            (pts, norms, _), outs = jax.lax.scan(body, carry0,
+                                                 jnp.arange(B))
+            return pts, norms, outs
+
+        return batch
+
+    def steps(self, n: int) -> "list[StepResult]":
+        """Run up to ``n`` iterations (batched ``iter_batch`` per
+        dispatch), stopping after the first converged iteration.
+        Returns one StepResult per executed iteration; raises on
+        ray-cast miss when ray_miss_fatal (state stops at the offending
+        iteration)."""
+        if self.iter_batch <= 1:
+            out = []
+            for _ in range(n):
+                r = self.step()
+                out.append(r)
+                if r.residual < self.params.rel_tol:
+                    break
+            return out
+        if self._batch is None:
+            self._batch = jax.jit(self._build_batch())
+        results: list = []
+        p = self.params
+        while n > 0:
+            n_valid = min(n, self.iter_batch)
+            t0 = time.time()
+            pts, norms, (res, nf, nm, ran) = self._batch(
+                self.points, self.smoothing_surface, self.normals,
+                self.td, self.layer or {}, self._bnd_arrays(),
+                self.engine.arrays if self.engine is not None else {},
+                jnp.asarray(n_valid, jnp.int32))
+            res = np.asarray(res)          # host sync
+            wall = (time.time() - t0) * 1e3
+            nf = np.asarray(nf)
+            nm = np.asarray(nm)
+            k = int(np.asarray(ran).sum())
+            self.points = pts
+            self.normals = norms
+            for i in range(k):
+                self._iteration += 1
+                results.append(StepResult(
+                    self._iteration, float(res[i]), int(nf[i]),
+                    wall / max(k, 1), int(nm[i])))
+            if p.ray_miss_fatal and k and nm[:k].sum():
+                raise RuntimeError(RAY_MISS_MSG.format(
+                    n=int(nm[:k].max())))
+            if k == 0 or res[k - 1] < p.rel_tol:
+                break
+            n -= k
+        return results
+
     def step(self) -> StepResult:
         self._iteration += 1
         t0 = time.time()
@@ -521,8 +646,10 @@ class Smoother:
         with ctx:
             result = self._run_loop(log, on_write, result, iter_ms)
         if log:
-            n = max(len(iter_ms) - 1, 1)  # drop the compile iteration
-            steady = iter_ms[1:] or iter_ms
+            # drop the first dispatch (compile): with batching it
+            # spans the first iter_batch iterations
+            skip = min(max(self.iter_batch, 1), max(len(iter_ms) - 1, 0))
+            steady = iter_ms[skip:] or iter_ms
             if steady:
                 mean_ms = sum(steady) / len(steady)
                 rate = self.topo.n_points / (mean_ms / 1e3)
@@ -533,24 +660,39 @@ class Smoother:
 
     def _run_loop(self, log, on_write, result, iter_ms) -> StepResult:
         p = self.params
-        for i in range(p.centroidal_iters):
-            result = self.step()
-            iter_ms.append(result.wall_ms)
-            if log:
-                miss = (f" nRayMisses={result.n_ray_miss} (frozen)"
-                        if result.n_ray_miss else "")
-                log(f"Smoothing iteration={result.iteration} "
-                    f"nFrozenPoints={result.n_frozen} "
-                    f"residual={result.residual:.6g}{miss}")
+        total = p.centroidal_iters
+        done = 0
+        while done < total:
+            # stop each dispatch window at the next write boundary so
+            # on_write observes the exact intermediate state
+            n = total - done
+            if on_write and p.write_interval > 0:
+                boundary = ((done // p.write_interval) + 1) \
+                    * p.write_interval
+                n = min(n, boundary - done)
+            rs = self.steps(n)
+            for r in rs:
+                iter_ms.append(r.wall_ms)
+                if log:
+                    miss = (f" nRayMisses={r.n_ray_miss} (frozen)"
+                            if r.n_ray_miss else "")
+                    log(f"Smoothing iteration={r.iteration} "
+                        f"nFrozenPoints={r.n_frozen} "
+                        f"residual={r.residual:.6g}{miss}")
+            if rs:
+                result = rs[-1]
+            done += len(rs)
             stop = result.residual < p.rel_tol
             if stop and log:
                 log("Residual reached relTol, stopping.")
-            if i == p.centroidal_iters - 1 and log:
+            if done >= total and not stop and log:
                 log("Maximum centroidalIters reached, stopping.")
-            if on_write and (stop or i == p.centroidal_iters - 1
-                             or (i + 1) % p.write_interval == 0 and i > 0):
+            if on_write and (stop or done >= total
+                             or (p.write_interval > 0
+                                 and done % p.write_interval == 0
+                                 and done > 1)):
                 on_write(result.iteration, self.denormalize())
-            if stop:
+            if stop or not rs:
                 break
         return result
 

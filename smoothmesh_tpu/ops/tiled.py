@@ -130,8 +130,11 @@ def build_pool(n_consumers: int,
         ghost_lists.append(ghosts)
         g_max = max(g_max, len(ghosts))
 
-    n_ghost_rows = max(-(-g_max // LANES), 8)
-    n_ghost_rows = -(-n_ghost_rows // 8) * 8          # (8,128) tiles
+    # Ghost block shape is (C, GR*128): the tiled dims are
+    # (sublane=C [padded to 8 by Mosaic], lane=GR*128), so GR only
+    # needs lane granularity — keep it minimal.  Oversizing GR inflates
+    # the per-iteration XLA ghost gathers (nb * GR * 128 rows) ~8x.
+    n_ghost_rows = max(-(-g_max // LANES), 1)
     if n_ghost_rows > ghost_row_cap:
         raise ValueError(
             f"pool needs {n_ghost_rows} ghost rows > cap {ghost_row_cap}; "
