@@ -204,6 +204,50 @@ def iteration_body(points, smoothing_surface, normals_state, td,
     return new_points, normals_state, res, n_frozen, n_ray_miss
 
 
+def iteration_body_planar(pts4, td, params: SmoothingParams, scale: float,
+                          chunk, engine, arr):
+    """Default-path iteration entirely in the tile engine's PLANAR
+    layout (no layer/boundary/sync; engine required).
+
+    The dense iteration_body pays two materialized full-array
+    relayouts per iteration at the XLA<->Pallas boundary (points ->
+    planar, proposal -> dense), ~20 ms at 64^3; keeping the scan carry
+    planar removes them.  Math (and freeze decisions) identical to the
+    engine branch of :func:`iteration_body`.
+    """
+    p = params
+    min_edge = p.min_edge_length * scale
+    max_step = p.max_step_length * scale
+    N = engine.topo.n_points
+
+    geom6, vm3 = engine.face_geometry(arr, pts4[:3])
+    cc4 = engine.cell_centres_vols(arr, geom6)
+    prop4 = engine.predictor(arr, pts4, cc4, max_step, p.rel_step_frac,
+                             False)
+    frozen_pl = jnp.zeros((1, pts4.shape[1]), jnp.float32)
+    frozen_pl = engine.freeze_constraints(
+        arr, pts4, prop4, frozen_pl, min_edge, p.total_min_freeze,
+        p.min_angle_rad, p.edge_angle_constraint)
+    frozen = frozen_pl[0, :N] > 0.5
+    if p.face_angle_constraint:
+        cur_minmax = engine.face_angles_per_point(arr, pts4, vm3, cc4)
+        frozen = restrict_face_angle_deterioration(
+            pts4, cc4, prop4, td, p.min_angle_rad, p.max_angle_rad,
+            frozen, chunk=chunk, fc_base=vm3, cur_minmax=cur_minmax,
+            u_space=True, transposed=True, n_points=N)
+
+    revert = frozen | ~arr["p_intern_b"][0]
+    cur3 = pts4[:3, :N]
+    new3 = jnp.where(revert[None, :], cur3, prop4[:3, :N])
+    dx2 = jnp.sum((new3 - cur3) ** 2, axis=0)
+    res = jnp.sqrt(jnp.max(dx2)) / max_step
+    n_frozen = jnp.sum(revert)
+    new_pts4 = jnp.concatenate(
+        [jnp.concatenate([new3, pts4[:3, N:]], axis=1), pts4[3:4]],
+        axis=0)
+    return new_pts4, res, n_frozen
+
+
 def default_face_angle_chunk(topo) -> Optional[int]:
     """Pick a face-angle evaluation chunk bounding peak HBM use.
 
@@ -520,6 +564,41 @@ class Smoother:
         engine = self.engine
         fatal_miss = bool(p.ray_miss_fatal) and has_bnd
         B = self.iter_batch
+
+        if engine is not None and not has_layer and not has_bnd:
+            # default path: planar carry (see iteration_body_planar)
+            from smoothmesh_tpu.ops.tiled import from_planar
+
+            def batch_planar(points, smoothing_surface, normals, td,
+                             layer, bnd, engine_arrays, n_valid):
+                pts4 = engine.pts4(points)
+
+                def live(carry):
+                    pl, _done = carry
+                    new_pl, res, nf = iteration_body_planar(
+                        pl, td, p, s, chunk, engine, engine_arrays)
+                    stop = res < p.rel_tol
+                    zero = jnp.asarray(0, jnp.int32)
+                    return (new_pl, stop), (
+                        res.astype(points.dtype),
+                        nf.astype(jnp.int32), zero, jnp.asarray(True))
+
+                def dead(carry):
+                    zero = jnp.asarray(0, jnp.int32)
+                    return carry, (jnp.asarray(jnp.nan, points.dtype),
+                                   zero, zero, jnp.asarray(False))
+
+                def body(carry, i):
+                    return jax.lax.cond(carry[1] | (i >= n_valid),
+                                        dead, live, carry)
+
+                (pl, _), outs = jax.lax.scan(
+                    body, (pts4, jnp.asarray(False)), jnp.arange(B))
+                out_points = from_planar(pl[:3], points.shape[0]) \
+                    .astype(points.dtype)
+                return out_points, normals, outs
+
+            return batch_planar
 
         def batch(points, smoothing_surface, normals, td, layer, bnd,
                   engine_arrays, n_valid):

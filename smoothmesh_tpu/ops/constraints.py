@@ -301,7 +301,8 @@ def current_face_angles_per_point(points, cell_ctrs, td, chunk=None,
 def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                                       min_angle_rad, max_angle_rad, frozen,
                                       chunk=None, fc_base=None,
-                                      cur_minmax=None, u_space=False):
+                                      cur_minmax=None, u_space=False,
+                                      transposed=False, n_points=None):
     """Freeze points (and neighbours) whose moves deteriorate face-face
     angles already outside [min_angle, max_angle].
 
@@ -314,8 +315,15 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     ``fc_base`` / ``cur_minmax`` let the tile engine supply the
     vertex-mean face centres and the per-point current min/max angles
     it already computed (ops/tiledstep.py), skipping the per-edge pass.
+    ``transposed=True`` means points/proposed/cell_ctrs/fc_base arrive
+    ALREADY transposed as (3, >=N)/(3, >=C)/(3, >=F) (the tile engine's
+    planar layout, possibly lane-padded — padding columns are never
+    indexed since all gather ids are valid entity ids).  This skips
+    four full-array relayouts per call; requires fc_base and cur_minmax.
     """
     dtype = points.dtype
+    if transposed and (fc_base is None or cur_minmax is None):
+        raise ValueError("transposed mode needs fc_base and cur_minmax")
     if fc_base is None:
         fc_base = simple_face_centres(points, td)
     if cur_minmax is not None:
@@ -340,7 +348,13 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     # Points already in good range never freeze anyone (reference :1367)
     active = (cur_min_p <= min_angle_rad) | (cur_max_p >= max_angle_rad)
 
-    moving = jnp.any(proposed != points, axis=-1)
+    # padded lanes of the planar form are never indexed (gather ids are
+    # valid entity ids), so ``moving`` may stay lane-padded
+    if transposed:
+        _wm = min(points.shape[1], proposed.shape[1])
+        moving = jnp.any(proposed[:3, :_wm] != points[:3, :_wm], axis=0)
+    else:
+        moving = jnp.any(proposed != points, axis=-1)
 
     def deteriorates(new_min, new_max):
         return (
@@ -354,7 +368,7 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     # while_loop, so the cost is proportional to how many points are
     # actually near the angle thresholds — the common converged-mesh
     # case costs just the per-edge pass above.
-    N = points.shape[0]
+    N = n_points if transposed else points.shape[0]
     any_active = jnp.any(active)
     pp = td["point_points"]                              # (N, WP)
     pp_mask = td["point_points_mask"]
@@ -397,13 +411,33 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     # dense (K,) vectors (TPU tiles pad the last two dims to (8,128);
     # (K, 4, 3)-shaped intermediates inside the while body waste ~40x
     # memory and dominated the profile).
-    points_T = points.T
-    proposed_T = proposed.T
-    fcb_T = fc_base.T
-    cc_T = cell_ctrs.T
+    if transposed:
+        # lane-padded widths may differ (pts4 is >= 2 window spans;
+        # stage outputs are nb*KB) — align on the smaller, which still
+        # covers every valid entity id
+        _w = min(points.shape[1], proposed.shape[1])
+        points_T = points[:3, :_w]
+        proposed_T = proposed[:3, :_w]
+        fcb_T = fc_base[:3]
+        cc_T = cell_ctrs[:3]
+    else:
+        points_T = points.T
+        proposed_T = proposed.T
+        fcb_T = fc_base.T
+        cc_T = cell_ctrs.T
+    delta_T = proposed_T - points_T       # per-point move (3, N)
     WF = td["edge_faces"].shape[1]
     WC = td["edge_cells"].shape[1]
     WPf = td["face_points"].shape[1]
+    # gather-count reductions (the eval is gather-bound): face-point
+    # ids with the validity mask folded in as -1 (halves the fp
+    # gathers), and (f0, f1, cell-mask) packed into one int32 per
+    # edge-cell slot (3 gathers -> 1)
+    fps_signed = jnp.where(td["face_mask"], td["face_points"], -1)
+    _sb = max(WF, 1).bit_length()
+    ecf_packed = (td["edge_cell_f0"]
+                  + (td["edge_cell_f1"] << _sb)
+                  + (td["edge_cells_mask"].astype(jnp.int32) << (2 * _sb)))
 
     def eval_edges_chunk(frozen_cur, eidx, rowv, bufs, t_slots):
         minbufs, maxbufs = bufs                          # tuples of (2E,)
@@ -417,15 +451,14 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
         f_n = [td["face_npoints"][fids[w]].astype(dtype) for w in range(WF)]
         inv_fn = [1.0 / jnp.maximum(f_n[w], 1.0) for w in range(WF)]
         fc0 = [[fcb_T[c, fids[w]] for c in range(3)] for w in range(WF)]
-        fp_ids = [[td["face_points"][:, j][fids[w]] for j in range(WPf)]
+        fp_ids = [[fps_signed[:, j][fids[w]] for j in range(WPf)]
                   for w in range(WF)]
-        fp_mask = [[td["face_mask"][:, j][fids[w]] for j in range(WPf)]
-                   for w in range(WF)]
         cids = [td["edge_cells"][:, u][eidx] for u in range(WC)]
-        c_mask = [td["edge_cells_mask"][:, u][eidx] for u in range(WC)]
+        ecf = [ecf_packed[:, u][eidx] for u in range(WC)]
+        c_mask = [(e >> (2 * _sb)) > 0 for e in ecf]
+        f0 = [e & ((1 << _sb) - 1) for e in ecf]
+        f1 = [(e >> _sb) & ((1 << _sb) - 1) for e in ecf]
         cc = [[cc_T[c, cids[u]] for c in range(3)] for u in range(WC)]
-        f0 = [td["edge_cell_f0"][:, u][eidx] for u in range(WC)]
-        f1 = [td["edge_cell_f1"][:, u][eidx] for u in range(WC)]
         q_all = [[pp[:, t][ep[s]] for t in range(WP)] for s in (0, 1)]
         q_ok_all = [[pp_mask[:, t][ep[s]] for t in range(WP)]
                     for s in (0, 1)]
@@ -444,21 +477,19 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                 if t < WP:
                     q_id = q_all[s][t]
                     q_ok = q_ok_all[s][t]
-                    q_c = [proposed_T[c, q_id] for c in range(3)]
-                    cur_q = [points_T[c, q_id] for c in range(3)]
-                    dq = [jnp.where(q_ok, q_c[c] - cur_q[c], 0.0)
+                    dq = [jnp.where(q_ok, delta_T[c, q_id], 0.0)
                           for c in range(3)]
                 else:  # self test: no neighbour substitution
                     q_id = None
                     q_ok = None
-                    q_c = None
                     dq = None
                 # endpoints with substitution (q may be the other
                 # endpoint; q is never p)
                 if q_id is not None:
-                    q_is_other = q_ok & (q_id == ep[other])
-                    end_o = [jnp.where(q_is_other, q_c[c],
-                                       cur_ep[other][c]) for c in range(3)]
+                    q_is_other = (q_ok & (q_id == ep[other])).astype(
+                        dtype)
+                    end_o = [cur_ep[other][c] + q_is_other * dq[c]
+                             for c in range(3)]
                 else:
                     end_o = cur_ep[other]
                 e0c = p_eff if s == 0 else end_o
@@ -482,8 +513,8 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                     if q_id is not None:
                         in_q = jnp.zeros_like(q_ok)
                         for j in range(WPf):
-                            in_q = in_q | ((fp_ids[w][j] == q_id)
-                                           & fp_mask[w][j])
+                            # fp_ids has invalid slots as -1; q_id >= 0
+                            in_q = in_q | (fp_ids[w][j] == q_id)
                         in_q = (in_q & q_ok).astype(dtype) * inv_fn[w]
                         fc = [fc0[w][c] + dp[c] * inv_fn[w]
                               + in_q * dq[c] for c in range(3)]
@@ -577,26 +608,54 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
             self_agg_chunk, (frozen,) + bufs, act_idx, n_active, Kp)
         return frozen
 
+    # Pair sweeps to a fixed point with DIRTY-SET re-evaluation: an
+    # edge's substituted evaluations depend on the freeze state only
+    # through its endpoints' effective coordinates, so after the first
+    # full pass only edges with a NEWLY frozen endpoint can produce
+    # different values.  Their buffer rows are updated in place (the
+    # (2E,) buffers are loop carry) and only points incident to dirty
+    # edges re-aggregate.  Freezing is monotone and .set(True) is
+    # idempotent, so this reaches the exact same fixed point as
+    # re-evaluating everything — sweeps after the first cost O(dirty).
     def sweep_body(state):
-        frozen_cur, _ = state
-        bufs = chunked(
+        frozen_cur, newly, minbufs, maxbufs = state
+        dirty_e = (newly[edges_arr[:, 0]] | newly[edges_arr[:, 1]]) \
+            & active_e
+        de_idx = jnp.nonzero(dirty_e, size=E, fill_value=0)[0]
+        n_de = jnp.sum(dirty_e)
+        minbufs, maxbufs = chunked(
             lambda ei, rv, b: eval_edges_chunk(frozen_cur, ei, rv, b,
                                                tuple(range(WP))),
-            _new_bufs(WP), ae_idx, n_active_e, Ke)
-        frozen_new, changed, _, _ = chunked(
-            pair_agg_chunk,
-            (frozen_cur, jnp.asarray(False)) + bufs,
-            act_idx, n_active, Kp)
-        return frozen_new, changed
+            (minbufs, maxbufs), de_idx, n_de, Ke)
+        dirty_p = jnp.zeros(N, dtype=bool)
+        dirty_p = dirty_p.at[edges_arr[:, 0]].max(dirty_e)
+        dirty_p = dirty_p.at[edges_arr[:, 1]].max(dirty_e)
+        dirty_p = dirty_p & active
+        dp_idx = jnp.nonzero(dirty_p, size=N, fill_value=0)[0]
+        n_dp = jnp.sum(dirty_p)
+        frozen_new, _, _, _ = chunked(
+            pair_agg_chunk, (frozen_cur, jnp.asarray(False),
+                             minbufs, maxbufs), dp_idx, n_dp, Kp)
+        return (frozen_new, frozen_new & ~frozen_cur, minbufs,
+                maxbufs)
 
     def sweep_cond(state):
-        _, changed = state
-        return changed
+        _, newly, _, _ = state
+        return jnp.any(newly)
 
     def run_all(frozen):
         frozen = self_phase(frozen)
-        frozen, _ = jax.lax.while_loop(
-            sweep_cond, sweep_body, (frozen, jnp.asarray(True)))
+        # first full pair pass over all active edges
+        minbufs, maxbufs = chunked(
+            lambda ei, rv, b: eval_edges_chunk(frozen, ei, rv, b,
+                                               tuple(range(WP))),
+            _new_bufs(WP), ae_idx, n_active_e, Ke)
+        frozen_new, _, _, _ = chunked(
+            pair_agg_chunk, (frozen, jnp.asarray(False),
+                             minbufs, maxbufs), act_idx, n_active, Kp)
+        frozen, _, _, _ = jax.lax.while_loop(
+            sweep_cond, sweep_body,
+            (frozen_new, frozen_new & ~frozen, minbufs, maxbufs))
         return frozen
 
     return jax.lax.cond(any_active, run_all, lambda f: f, frozen)

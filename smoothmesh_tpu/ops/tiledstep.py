@@ -170,6 +170,8 @@ class TiledEngine:
             _share_cell_bits(t)))
         intern = t.is_internal_point.astype(np.float32)[:, None]
         A["p_intern"] = jnp.asarray(_planar_extra(intern))
+        A["p_intern_b"] = jnp.asarray(
+            t.is_internal_point[None, :].astype(np.bool_))
         self.p_cc_field = FieldSpec("cc", self.p_cc_pool, 4)
         self.p_pp_field = FieldSpec("pts4", self.p_pp_pool, 4)
         A["p_win"] = jnp.asarray(win_stack_for(
