@@ -220,15 +220,23 @@ def iteration_body_planar(pts4, td, params: SmoothingParams, scale: float,
     max_step = p.max_step_length * scale
     N = engine.topo.n_points
 
+    W = pts4.shape[1]
+
     geom6, vm3 = engine.face_geometry(arr, pts4[:3])
     cc4 = engine.cell_centres_vols(arr, geom6)
     prop4 = engine.predictor(arr, pts4, cc4, max_step, p.rel_step_frac,
                              False)
-    frozen_pl = jnp.zeros((1, pts4.shape[1]), jnp.float32)
+    if prop4.shape[1] < W:      # tiny meshes: stage width < 2 spans
+        prop4 = jnp.pad(prop4, ((0, 0), (0, W - prop4.shape[1])))
+    frozen_pl = jnp.zeros((1, W), jnp.float32)
     frozen_pl = engine.freeze_constraints(
-        arr, pts4, prop4, frozen_pl, min_edge, p.total_min_freeze,
-        p.min_angle_rad, p.edge_angle_constraint)
-    frozen = frozen_pl[0, :N] > 0.5
+        arr, pts4, prop4, frozen_pl, min_edge,
+        p.total_min_freeze, p.min_angle_rad, p.edge_angle_constraint)
+    # everything below stays at the FULL padded width W: unaligned
+    # lane slices/concats at N force whole-array relayouts on TPU
+    frozen = frozen_pl[0] > 0.5
+    if frozen.shape[0] < W:
+        frozen = jnp.pad(frozen, (0, W - frozen.shape[0]))
     if p.face_angle_constraint:
         cur_minmax = engine.face_angles_per_point(arr, pts4, vm3, cc4)
         frozen = restrict_face_angle_deterioration(
@@ -236,15 +244,14 @@ def iteration_body_planar(pts4, td, params: SmoothingParams, scale: float,
             frozen, chunk=chunk, fc_base=vm3, cur_minmax=cur_minmax,
             u_space=True, transposed=True, n_points=N)
 
-    revert = frozen | ~arr["p_intern_b"][0]
-    cur3 = pts4[:3, :N]
-    new3 = jnp.where(revert[None, :], cur3, prop4[:3, :N])
-    dx2 = jnp.sum((new3 - cur3) ** 2, axis=0)
+    # padding lanes: intern=0 -> revert=True -> new==old -> dx2=0; the
+    # frozen count masks them out with the valid row
+    revert = frozen | (arr["p_intern_w"][0] < 0.5)
+    new3 = jnp.where(revert[None, :], pts4[:3], prop4[:3])
+    dx2 = jnp.sum((new3 - pts4[:3]) ** 2, axis=0)
     res = jnp.sqrt(jnp.max(dx2)) / max_step
-    n_frozen = jnp.sum(revert)
-    new_pts4 = jnp.concatenate(
-        [jnp.concatenate([new3, pts4[:3, N:]], axis=1), pts4[3:4]],
-        axis=0)
+    n_frozen = jnp.sum(revert & (arr["p_valid_w"][0] > 0.5))
+    new_pts4 = jnp.concatenate([new3, pts4[3:4]], axis=0)
     return new_pts4, res, n_frozen
 
 

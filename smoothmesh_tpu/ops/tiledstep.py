@@ -172,6 +172,12 @@ class TiledEngine:
         A["p_intern"] = jnp.asarray(_planar_extra(intern))
         A["p_intern_b"] = jnp.asarray(
             t.is_internal_point[None, :].astype(np.bool_))
+        # full planar-width rows (zero-padded) for the planar-carry
+        # iteration glue: padding lanes read as not-internal/not-valid
+        A["p_intern_w"] = to_planar(jnp.asarray(
+            t.is_internal_point[:, None].astype(np.float32)))
+        A["p_valid_w"] = to_planar(jnp.ones((t.n_points, 1),
+                                            jnp.float32))
         self.p_cc_field = FieldSpec("cc", self.p_cc_pool, 4)
         self.p_pp_field = FieldSpec("pts4", self.p_pp_pool, 4)
         A["p_win"] = jnp.asarray(win_stack_for(
