@@ -572,7 +572,14 @@ class Smoother:
         fatal_miss = bool(p.ray_miss_fatal) and has_bnd
         B = self.iter_batch
 
-        if engine is not None and not has_layer and not has_bnd:
+        # Planar-carry batch: measured SLOWER than the dense body on
+        # the current toolchain (88.5 vs 82 ms/iter at 64^3 — the
+        # boundary relayouts it removes turn out cheaper than its
+        # full-width planar glue).  Kept behind an env flag for
+        # re-evaluation on other TPU generations.
+        use_planar = (os.environ.get("SMOOTHMESH_PLANAR_BATCH") == "1")
+        if use_planar and engine is not None and not has_layer \
+                and not has_bnd:
             # default path: planar carry (see iteration_body_planar)
             from smoothmesh_tpu.ops.tiled import from_planar
 
@@ -580,27 +587,35 @@ class Smoother:
                              layer, bnd, engine_arrays, n_valid):
                 pts4 = engine.pts4(points)
 
-                def live(carry):
-                    pl, _done = carry
+                # straight-line fori body + select (NOT lax.scan or
+                # lax.cond: both measured ~25 ms/iteration slower than
+                # fori_loop of the same body on this toolchain).
+                # Skipped iterations recompute on the unchanged state
+                # and get selected away; they only occur after
+                # convergence or in a final partial batch.
+                def body(i, state):
+                    pl, done, o_res, o_nf, o_nm, o_ran = state
                     new_pl, res, nf = iteration_body_planar(
                         pl, td, p, s, chunk, engine, engine_arrays)
-                    stop = res < p.rel_tol
+                    skip = done | (i >= n_valid)
+                    out_pl = jnp.where(skip, pl, new_pl)
+                    new_done = jnp.where(skip, done, res < p.rel_tol)
                     zero = jnp.asarray(0, jnp.int32)
-                    return (new_pl, stop), (
-                        res.astype(points.dtype),
-                        nf.astype(jnp.int32), zero, jnp.asarray(True))
+                    return (out_pl, new_done,
+                            o_res.at[i].set(jnp.where(
+                                skip, jnp.nan, res).astype(points.dtype)),
+                            o_nf.at[i].set(jnp.where(
+                                skip, zero, nf.astype(jnp.int32))),
+                            o_nm, o_ran.at[i].set(~skip))
 
-                def dead(carry):
-                    zero = jnp.asarray(0, jnp.int32)
-                    return carry, (jnp.asarray(jnp.nan, points.dtype),
-                                   zero, zero, jnp.asarray(False))
-
-                def body(carry, i):
-                    return jax.lax.cond(carry[1] | (i >= n_valid),
-                                        dead, live, carry)
-
-                (pl, _), outs = jax.lax.scan(
-                    body, (pts4, jnp.asarray(False)), jnp.arange(B))
+                init = (pts4, jnp.asarray(False),
+                        jnp.zeros(B, points.dtype),
+                        jnp.zeros(B, jnp.int32),
+                        jnp.zeros(B, jnp.int32),
+                        jnp.zeros(B, bool))
+                pl, _, o_res, o_nf, o_nm, o_ran = jax.lax.fori_loop(
+                    0, B, body, init)
+                outs = (o_res, o_nf, o_nm, o_ran)
                 out_points = from_planar(pl[:3], points.shape[0]) \
                     .astype(points.dtype)
                 return out_points, normals, outs
@@ -618,8 +633,9 @@ class Smoother:
             else:
                 bnd_in = None
 
-            def live(carry):
-                pts, norms, _done = carry
+            # straight-line fori body + select (see batch_planar)
+            def body(i, state):
+                pts, norms, done, o_res, o_nf, o_nm, o_ran = state
                 np_, nn, res, nf, nm = iteration_body(
                     pts, smoothing_surface, norms, td, p, s,
                     do_boundary, layer=layer_in, bnd=bnd_in,
@@ -628,23 +644,25 @@ class Smoother:
                 stop = res < p.rel_tol
                 if fatal_miss:
                     stop = stop | (nm > 0)
-                return (np_, nn, stop), (
-                    res.astype(points.dtype), nf.astype(jnp.int32),
-                    nm.astype(jnp.int32), jnp.asarray(True))
-
-            def dead(carry):
+                skip = done | (i >= n_valid)
                 zero = jnp.asarray(0, jnp.int32)
-                return carry, (jnp.asarray(jnp.nan, points.dtype), zero,
-                               zero, jnp.asarray(False))
+                return (jnp.where(skip, pts, np_),
+                        jnp.where(skip, norms, nn),
+                        jnp.where(skip, done, stop),
+                        o_res.at[i].set(jnp.where(
+                            skip, jnp.nan, res).astype(points.dtype)),
+                        o_nf.at[i].set(jnp.where(
+                            skip, zero, nf.astype(jnp.int32))),
+                        o_nm.at[i].set(jnp.where(
+                            skip, zero, nm.astype(jnp.int32))),
+                        o_ran.at[i].set(~skip))
 
-            def body(carry, i):
-                return jax.lax.cond(carry[2] | (i >= n_valid), dead,
-                                    live, carry)
-
-            carry0 = (points, normals, jnp.asarray(False))
-            (pts, norms, _), outs = jax.lax.scan(body, carry0,
-                                                 jnp.arange(B))
-            return pts, norms, outs
+            init = (points, normals, jnp.asarray(False),
+                    jnp.zeros(B, points.dtype), jnp.zeros(B, jnp.int32),
+                    jnp.zeros(B, jnp.int32), jnp.zeros(B, bool))
+            pts, norms, _, o_res, o_nf, o_nm, o_ran = jax.lax.fori_loop(
+                0, B, body, init)
+            return pts, norms, (o_res, o_nf, o_nm, o_ran)
 
         return batch
 
