@@ -30,7 +30,11 @@ import numpy as np
 # enough that the axon remote compiler finishes reliably; raise via env
 # for scale studies.
 N_SIDE = int(os.environ.get("SMOOTHMESH_BENCH_N", "64"))
-ITERS = int(os.environ.get("SMOOTHMESH_BENCH_ITERS", "10"))
+# Keep ITERS a multiple of the dispatch batch (default 8): a partial
+# final window computes a full batch and would skew short runs
+# (production runs are thousands of iterations, so steady-state full
+# windows are the representative regime).
+ITERS = int(os.environ.get("SMOOTHMESH_BENCH_ITERS", "16"))
 REFERENCE_CPU_POINTS_PER_SEC = 1.1e5
 
 
@@ -124,9 +128,12 @@ def main() -> int:
         sm.enable_boundary_smoothing(*_dome_geometry())
     compile_t = time.time() - t0
 
-    # Warmup (compile) — batched dispatch (iter_batch iterations per
-    # device call; bitwise-identical to per-iteration stepping)
+    # Warmup (compile + two warm dispatches: the first dispatches
+    # after a fresh compile pay one-time program-load costs on the
+    # axon tunnel) — batched dispatch, bitwise-identical to
+    # per-iteration stepping
     t0 = time.time()
+    sm.steps(sm.iter_batch)
     sm.steps(sm.iter_batch)
     warm_t = time.time() - t0
 

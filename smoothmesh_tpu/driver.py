@@ -572,12 +572,13 @@ class Smoother:
         fatal_miss = bool(p.ray_miss_fatal) and has_bnd
         B = self.iter_batch
 
-        # Planar-carry batch: measured SLOWER than the dense body on
-        # the current toolchain (88.5 vs 82 ms/iter at 64^3 — the
-        # boundary relayouts it removes turn out cheaper than its
-        # full-width planar glue).  Kept behind an env flag for
-        # re-evaluation on other TPU generations.
-        use_planar = (os.environ.get("SMOOTHMESH_PLANAR_BATCH") == "1")
+        # Batch-structure measurements at 64^3 (ms/live-iter):
+        # bare fori: dense 82, planar 88.5; batched with outputs +
+        # convergence select: planar 109 (fori or scan), dense 108
+        # (scan+cond) but 161 (fori+select).  The planar fori batch is
+        # the most robust fast configuration on this toolchain.
+        use_planar = (os.environ.get("SMOOTHMESH_PLANAR_BATCH", "1")
+                      == "1")
         if use_planar and engine is not None and not has_layer \
                 and not has_bnd:
             # default path: planar carry (see iteration_body_planar)
