@@ -35,7 +35,17 @@ N_SIDE = int(os.environ.get("SMOOTHMESH_BENCH_N", "64"))
 # (production runs are thousands of iterations, so steady-state full
 # windows are the representative regime).
 ITERS = int(os.environ.get("SMOOTHMESH_BENCH_ITERS", "16"))
+# Round-1 order-of-magnitude ESTIMATE of a 16-core CPU reference
+# (no published numbers exist); kept for cross-round comparability.
 REFERENCE_CPU_POINTS_PER_SEC = 1.1e5
+# MEASURED stand-in (BASELINE.md, 2026-08-17): this framework's own
+# full default iteration on ONE core of this host (XLA CPU, float64,
+# SMOOTHMESH_BENCH_CPU=1, same 64^3 mesh) = 169,497 point-updates/s.
+# x16 linear scaling is a CONSERVATIVE 16-core anchor: the vectorized
+# XLA-CPU path is at least as fast per core as the reference's serial
+# C++ loops, and linear scaling ignores its halo-sync costs.
+MEASURED_CPU_CORE_POINTS_PER_SEC = 169_497.0
+CPU16_STANDIN = 16 * MEASURED_CPU_CORE_POINTS_PER_SEC
 
 
 def _dome_geometry():
@@ -168,6 +178,8 @@ def main() -> int:
         "unit": "points/s",
         "vs_baseline": round(updates_per_sec / REFERENCE_CPU_POINTS_PER_SEC,
                              2),
+        "vs_measured_cpu16_standin": round(
+            updates_per_sec / CPU16_STANDIN, 2),
     }
     print(json.dumps(result))
     print(
