@@ -181,6 +181,10 @@ def main() -> int:
         "vs_measured_cpu16_standin": round(
             updates_per_sec / CPU16_STANDIN, 2),
     }
+    if iters_to_tol is not None:
+        # BASELINE secondary metric (measured 2026-08-17 with
+        # SMOOTHMESH_BENCH_CONVERGE_CAP=3000: 3032 iterations at 64^3)
+        result["iters_to_reltol_0.02"] = iters_to_tol
     print(json.dumps(result))
     print(
         json.dumps({
