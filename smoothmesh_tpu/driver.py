@@ -205,7 +205,7 @@ def iteration_body(points, smoothing_surface, normals_state, td,
 
 
 def iteration_body_planar(pts4, td, params: SmoothingParams, scale: float,
-                          chunk, engine, arr):
+                          chunk, engine, arr, skip=None):
     """Default-path iteration entirely in the tile engine's PLANAR
     layout (no layer/boundary/sync; engine required).
 
@@ -245,8 +245,14 @@ def iteration_body_planar(pts4, td, params: SmoothingParams, scale: float,
             u_space=True, transposed=True, n_points=N)
 
     # padding lanes: intern=0 -> revert=True -> new==old -> dx2=0; the
-    # frozen count masks them out with the valid row
+    # frozen count masks them out with the valid row.  ``skip`` (batch
+    # passthrough) folds into the same mask: a skipped iteration
+    # reverts EVERY point, leaving the carry bit-identical — this is
+    # free, whereas a select on the carry after the fact measured
+    # +17 ms/iteration (experiments/batchoverhead.py).
     revert = frozen | (arr["p_intern_w"][0] < 0.5)
+    if skip is not None:
+        revert = revert | skip
     new3 = jnp.where(revert[None, :], pts4[:3], prop4[:3])
     dx2 = jnp.sum((new3 - pts4[:3]) ** 2, axis=0)
     res = jnp.sqrt(jnp.max(dx2)) / max_step
@@ -596,13 +602,16 @@ class Smoother:
                 # convergence or in a final partial batch.
                 def body(i, state):
                     pl, done, o_res, o_nf, o_nm, o_ran = state
-                    new_pl, res, nf = iteration_body_planar(
-                        pl, td, p, s, chunk, engine, engine_arrays)
                     skip = done | (i >= n_valid)
-                    out_pl = jnp.where(skip, pl, new_pl)
-                    new_done = jnp.where(skip, done, res < p.rel_tol)
+                    # skip folds into the iteration's revert mask: the
+                    # carry passes through bit-identically with no
+                    # extra select on the big array
+                    new_pl, res, nf = iteration_body_planar(
+                        pl, td, p, s, chunk, engine, engine_arrays,
+                        skip=skip)
+                    new_done = skip | (res < p.rel_tol)
                     zero = jnp.asarray(0, jnp.int32)
-                    return (out_pl, new_done,
+                    return (new_pl, new_done,
                             o_res.at[i].set(jnp.where(
                                 skip, jnp.nan, res).astype(points.dtype)),
                             o_nf.at[i].set(jnp.where(
