@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
       help="freeze boundary points whose surface-snap ray cast finds no "
       "intersection instead of aborting (the reference aborts, "
       "bPS.C:933-940)")
+    a("-writeFormat", "--writeFormat", default="ascii",
+      choices=("ascii", "binary"),
+      help="polyMesh output format (OpenFOAM writeFormat equivalent; "
+      "binary meshes are also READ transparently)")
     return ap
 
 
@@ -248,7 +252,8 @@ def main(argv: Sequence[str] = None) -> int:
 
     def on_write(iteration: int, pts: np.ndarray) -> None:
         t = t0 + iteration * delta_t
-        out = case.write_mesh(mesh, pts, t, overwrite=args.overwrite)
+        out = case.write_mesh(mesh, pts, t, overwrite=args.overwrite,
+                              binary=args.writeFormat == "binary")
         if boundary_setup is not None:
             # AUTO_WRITE of classification checkpoints (reference
             # src/smoothMesh.C:2039-2077)

@@ -112,13 +112,13 @@ class FoamCase:
         return mesh
 
     def write_mesh(self, mesh: PolyMesh, points: np.ndarray, time: float,
-                   overwrite: bool = False) -> str:
+                   overwrite: bool = False, binary: bool = False) -> str:
         """Write smoothed points (full mesh on first write of an instance)."""
         if overwrite:
             out_dir = os.path.join(self.root, "constant", "polyMesh")
         else:
             out_dir = os.path.join(self.root, _fmt_time(time), "polyMesh")
-        write_polymesh(out_dir, mesh, points=points)
+        write_polymesh(out_dir, mesh, points=points, binary=binary)
         return out_dir
 
     # -- classification checkpoints ----------------------------------------
