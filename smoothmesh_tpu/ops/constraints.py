@@ -658,4 +658,10 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
             (frozen_new, frozen_new & ~frozen, minbufs, maxbufs))
         return frozen
 
-    return jax.lax.cond(any_active, run_all, lambda f: f, frozen)
+    # No lax.cond around run_all: conditionals cost ~17-20 ms inside
+    # iteration loops on this toolchain (experiments/batchoverhead.py),
+    # while the chunked while_loops inside run_all already no-op in
+    # microseconds when the active set is empty (their trip conditions
+    # fail immediately); any_active only gates the final fold.
+    frozen_out = run_all(frozen)
+    return jnp.where(any_active, frozen_out, frozen)
