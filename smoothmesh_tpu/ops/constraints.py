@@ -375,20 +375,6 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     WP = pp.shape[1]
     edges_arr = td["edges"]
     E = edges_arr.shape[0]
-
-    # ---- edge-centric substituted evaluation ----
-    # Every (p, q, e) evaluation the reference performs has p as an
-    # endpoint of e.  So instead of gathering e's geometry once per
-    # (p, q) pair, each ACTIVE edge (an edge with an active endpoint)
-    # loads its geometry once and evaluates all 2*(WP+1) substitution
-    # combinations (endpoint side x neighbour slot, plus the self test)
-    # in registers — ~8x fewer gather rows than the point-centric form.
-    active_e = ((active[edges_arr[:, 0]] | active[edges_arr[:, 1]])
-                & td["edge_valid"])
-    ae_idx = jnp.nonzero(active_e, size=E, fill_value=0)[0]
-    n_active_e = jnp.sum(active_e)
-    act_idx = jnp.nonzero(active, size=N, fill_value=0)[0]
-    n_active = jnp.sum(active)
     Ke = min(chunk if chunk else 4096, E)
     Kp = min(chunk if chunk else 4096, N)
 
@@ -600,50 +586,72 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
         mx = tuple(jnp.zeros((2 * E,), dtype=dtype) for _ in range(T))
         return mn, mx
 
-    def self_phase(frozen):
-        bufs = chunked(
-            lambda ei, rv, b: eval_edges_chunk(frozen, ei, rv, b, (WP,)),
-            _new_bufs(1), ae_idx, n_active_e, Ke)
-        frozen, _, _ = chunked(
-            self_agg_chunk, (frozen,) + bufs, act_idx, n_active, Kp)
-        return frozen
-
-    # Pair sweeps to a fixed point with DIRTY-SET re-evaluation: an
-    # edge's substituted evaluations depend on the freeze state only
-    # through its endpoints' effective coordinates, so after the first
-    # full pass only edges with a NEWLY frozen endpoint can produce
-    # different values.  Their buffer rows are updated in place (the
-    # (2E,) buffers are loop carry) and only points incident to dirty
-    # edges re-aggregate.  Freezing is monotone and .set(True) is
-    # idempotent, so this reaches the exact same fixed point as
-    # re-evaluating everything — sweeps after the first cost O(dirty).
-    def sweep_body(state):
-        frozen_cur, newly, minbufs, maxbufs = state
-        dirty_e = (newly[edges_arr[:, 0]] | newly[edges_arr[:, 1]]) \
-            & active_e
-        de_idx = jnp.nonzero(dirty_e, size=E, fill_value=0)[0]
-        n_de = jnp.sum(dirty_e)
-        minbufs, maxbufs = chunked(
-            lambda ei, rv, b: eval_edges_chunk(frozen_cur, ei, rv, b,
-                                               tuple(range(WP))),
-            (minbufs, maxbufs), de_idx, n_de, Ke)
-        dirty_p = jnp.zeros(N, dtype=bool)
-        dirty_p = dirty_p.at[edges_arr[:, 0]].max(dirty_e)
-        dirty_p = dirty_p.at[edges_arr[:, 1]].max(dirty_e)
-        dirty_p = dirty_p & active
-        dp_idx = jnp.nonzero(dirty_p, size=N, fill_value=0)[0]
-        n_dp = jnp.sum(dirty_p)
-        frozen_new, _, _, _ = chunked(
-            pair_agg_chunk, (frozen_cur, jnp.asarray(False),
-                             minbufs, maxbufs), dp_idx, n_dp, Kp)
-        return (frozen_new, frozen_new & ~frozen_cur, minbufs,
-                maxbufs)
-
-    def sweep_cond(state):
-        _, newly, _, _ = state
-        return jnp.any(newly)
-
     def run_all(frozen):
+        # ---- edge-centric substituted evaluation ----
+        # Every (p, q, e) evaluation the reference performs has p as an
+        # endpoint of e.  So instead of gathering e's geometry once per
+        # (p, q) pair, each ACTIVE edge (an edge with an active
+        # endpoint) loads its geometry once and evaluates all 2*(WP+1)
+        # substitution combinations (endpoint side x neighbour slot,
+        # plus the self test) in registers — ~8x fewer gather rows than
+        # the point-centric form.
+        #
+        # This prep (two pred gathers over E + two nonzero compactions)
+        # costs ~19 ms/iter at 64^3, so it lives INSIDE the
+        # any_active cond: in-band meshes (the common converged regime)
+        # skip it entirely (round-3 profile, experiments/profilestep.py).
+        active_e = ((active[edges_arr[:, 0]] | active[edges_arr[:, 1]])
+                    & td["edge_valid"])
+        ae_idx = jnp.nonzero(active_e, size=E, fill_value=0)[0]
+        n_active_e = jnp.sum(active_e)
+        act_idx = jnp.nonzero(active, size=N, fill_value=0)[0]
+        n_active = jnp.sum(active)
+
+        def self_phase(frozen):
+            bufs = chunked(
+                lambda ei, rv, b: eval_edges_chunk(frozen, ei, rv, b,
+                                                   (WP,)),
+                _new_bufs(1), ae_idx, n_active_e, Ke)
+            frozen, _, _ = chunked(
+                self_agg_chunk, (frozen,) + bufs, act_idx, n_active, Kp)
+            return frozen
+
+        # Pair sweeps to a fixed point with DIRTY-SET re-evaluation: an
+        # edge's substituted evaluations depend on the freeze state only
+        # through its endpoints' effective coordinates, so after the
+        # first full pass only edges with a NEWLY frozen endpoint can
+        # produce different values.  Their buffer rows are updated in
+        # place (the (2E,) buffers are loop carry) and only points
+        # incident to dirty edges re-aggregate.  Freezing is monotone
+        # and .set(True) is idempotent, so this reaches the exact same
+        # fixed point as re-evaluating everything — sweeps after the
+        # first cost O(dirty).
+        def sweep_body(state):
+            frozen_cur, newly, minbufs, maxbufs = state
+            dirty_e = (newly[edges_arr[:, 0]] | newly[edges_arr[:, 1]]) \
+                & active_e
+            de_idx = jnp.nonzero(dirty_e, size=E, fill_value=0)[0]
+            n_de = jnp.sum(dirty_e)
+            minbufs, maxbufs = chunked(
+                lambda ei, rv, b: eval_edges_chunk(frozen_cur, ei, rv, b,
+                                                   tuple(range(WP))),
+                (minbufs, maxbufs), de_idx, n_de, Ke)
+            dirty_p = jnp.zeros(N, dtype=bool)
+            dirty_p = dirty_p.at[edges_arr[:, 0]].max(dirty_e)
+            dirty_p = dirty_p.at[edges_arr[:, 1]].max(dirty_e)
+            dirty_p = dirty_p & active
+            dp_idx = jnp.nonzero(dirty_p, size=N, fill_value=0)[0]
+            n_dp = jnp.sum(dirty_p)
+            frozen_new, _, _, _ = chunked(
+                pair_agg_chunk, (frozen_cur, jnp.asarray(False),
+                                 minbufs, maxbufs), dp_idx, n_dp, Kp)
+            return (frozen_new, frozen_new & ~frozen_cur, minbufs,
+                    maxbufs)
+
+        def sweep_cond(state):
+            _, newly, _, _ = state
+            return jnp.any(newly)
+
         frozen = self_phase(frozen)
         # first full pair pass over all active edges
         minbufs, maxbufs = chunked(
@@ -658,10 +666,4 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
             (frozen_new, frozen_new & ~frozen, minbufs, maxbufs))
         return frozen
 
-    # No lax.cond around run_all: conditionals cost ~17-20 ms inside
-    # iteration loops on this toolchain (experiments/batchoverhead.py),
-    # while the chunked while_loops inside run_all already no-op in
-    # microseconds when the active set is empty (their trip conditions
-    # fail immediately); any_active only gates the final fold.
-    frozen_out = run_all(frozen)
-    return jnp.where(any_active, frozen_out, frozen)
+    return jax.lax.cond(any_active, run_all, lambda f: f, frozen)

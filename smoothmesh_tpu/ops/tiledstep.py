@@ -178,7 +178,9 @@ class TiledEngine:
             t.is_internal_point[:, None].astype(np.float32)))
         A["p_valid_w"] = to_planar(jnp.ones((t.n_points, 1),
                                             jnp.float32))
-        self.p_cc_field = FieldSpec("cc", self.p_cc_pool, 4)
+        # 3-comp pool: _p_body never selects the volume row of cc4
+        # (25% less MXU select work + ghost-gather width)
+        self.p_cc_field = FieldSpec("cc", self.p_cc_pool, 3)
         self.p_pp_field = FieldSpec("pts4", self.p_pp_pool, 4)
         A["p_win"] = jnp.asarray(win_stack_for(
             [self.p_cc_field, self.p_pp_field]))
@@ -189,8 +191,10 @@ class TiledEngine:
         self._p_stage_cache = {}
 
         # ---- stage S: freeze constraints over the same pp pool -------
-        self.s_cur_field = FieldSpec("cur4", self.p_pp_pool, 4)
-        self.s_prop_field = FieldSpec("prop4", self.p_pp_pool, 4)
+        # 3-comp pools: _s_body only selects coordinates (pts4's flag
+        # row and prop4's cur-min row are never read)
+        self.s_cur_field = FieldSpec("cur4", self.p_pp_pool, 3)
+        self.s_prop_field = FieldSpec("prop4", self.p_pp_pool, 3)
         self._init_stage_s()
         self._init_stage_e()
 
@@ -513,9 +517,11 @@ class TiledEngine:
         A["e_ec_mask"] = jnp.asarray(_planar_extra(t.edge_cells_mask))
         A["e_f0"] = jnp.asarray(_planar_extra_i32(t.edge_cell_f0))
         A["e_f1"] = jnp.asarray(_planar_extra_i32(t.edge_cell_f1))
-        self.e_pts_field = FieldSpec("pts4", self.e_pts_pool, 4)
+        # 3-comp pools: _e_body reads only coordinates of endpoints and
+        # cell centres
+        self.e_pts_field = FieldSpec("pts4", self.e_pts_pool, 3)
         self.e_vm_field = FieldSpec("vm", self.e_vm_pool, 3)
-        self.e_cc_field = FieldSpec("cc", self.e_cc_pool, 4)
+        self.e_cc_field = FieldSpec("cc", self.e_cc_pool, 3)
         self._stage_e = stage_call(
             self._e_body, _nb(t.n_edges),
             [self.e_pts_field, self.e_vm_field, self.e_cc_field],
@@ -739,10 +745,11 @@ class TiledEngine:
         cc4: (4, C_pad) from cell_centres_vols.
         """
         fn = self._get_stage_p(max_step, rel_step_frac, do_boundary)
-        gh_cc = ghosts_planar(cc4, arr["p_cc_gids"])
+        cc3 = cc4[:3]
+        gh_cc = ghosts_planar(cc3, arr["p_cc_gids"])
         gh_pp = ghosts_planar(pts4_planar, arr["p_pp_gids"])
         return fn(arr["p_win"], [arr["p_cc_codes"], arr["p_pp_codes"]],
-                  {"cc": (cc4, gh_cc), "pts4": (pts4_planar, gh_pp)},
+                  {"cc": (cc3, gh_cc), "pts4": (pts4_planar, gh_pp)},
                   arr["p_pc_mask"], arr["p_pp_mask"], arr["p_share"],
                   arr["p_intern"], pts4_planar)
 
@@ -756,13 +763,15 @@ class TiledEngine:
         """
         fn = self._get_stage_s(min_edge, total_min_freeze,
                                min_angle_rad, edge_angle_on)
-        gh_cur = ghosts_planar(pts4_planar, arr["p_pp_gids"])
-        gh_prop = ghosts_planar(prop4, arr["p_pp_gids"])
+        cur3 = pts4_planar[:3]
+        prop3 = prop4[:3]
+        gh_cur = ghosts_planar(cur3, arr["p_pp_gids"])
+        gh_prop = ghosts_planar(prop3, arr["p_pp_gids"])
         win = jnp.concatenate([arr["p_win"][1:2], arr["p_win"][1:2]],
                               axis=0)
         return fn(win, [arr["p_pp_codes"]],
-                  {"cur4": (pts4_planar, gh_cur),
-                   "prop4": (prop4, gh_prop)},
+                  {"cur4": (cur3, gh_cur),
+                   "prop4": (prop3, gh_prop)},
                   arr["p_pp_mask"], arr["s_pf_mask"],
                   arr["s_prev_slot"], arr["s_next_slot"], pts4_planar,
                   prop4, frozen_in)
@@ -773,14 +782,16 @@ class TiledEngine:
         pair) — twin of ops/constraints.current_face_angles_per_point
         up to the monotone u encoding.
         """
-        gh_p = ghosts_planar(pts4_planar, arr["e_pts_gids"])
+        pts3 = pts4_planar[:3]
+        cc3 = cc4[:3]
+        gh_p = ghosts_planar(pts3, arr["e_pts_gids"])
         gh_v = ghosts_planar(vm3, arr["e_vm_gids"])
-        gh_c = ghosts_planar(cc4, arr["e_cc_gids"])
+        gh_c = ghosts_planar(cc3, arr["e_cc_gids"])
         ue = self._stage_e(
             arr["e_win"],
             [arr["e_ep_codes"], arr["e_ef_codes"], arr["e_ec_codes"]],
-            {"pts4": (pts4_planar, gh_p), "vm": (vm3, gh_v),
-             "cc": (cc4, gh_c)},
+            {"pts4": (pts3, gh_p), "vm": (vm3, gh_v),
+             "cc": (cc3, gh_c)},
             arr["e_ec_mask"], arr["e_f0"], arr["e_f1"])
         gh_u = ghosts_planar(ue, arr["r_gids"])
         up = self._stage_r(arr["r_win"], [arr["r_codes"]],
