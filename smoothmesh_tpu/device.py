@@ -58,9 +58,17 @@ def to_device(topo: MeshTopology) -> Dict[str, jnp.ndarray]:
         "face_patch": topo.face_patch,
         "face_is_real_boundary": face_is_real_boundary,
         # Row-validity masks: all True for a plain mesh; padded rows in
-        # sharded stacked topologies are False (see parallel.partition)
-        "point_valid": np.ones(topo.n_points, dtype=bool),
-        "edge_valid": np.ones(topo.n_edges, dtype=bool),
-        "cell_valid": np.ones(topo.n_cells, dtype=bool),
+        # sharded stacked topologies are False (see parallel.partition).
+        # Entity-padded topologies (parallel.halo.pad_topology) attach
+        # explicit *_valid_rows attributes.
+        "point_valid": getattr(topo, "point_valid_rows", None)
+        if getattr(topo, "point_valid_rows", None) is not None
+        else np.ones(topo.n_points, dtype=bool),
+        "edge_valid": getattr(topo, "edge_valid_rows", None)
+        if getattr(topo, "edge_valid_rows", None) is not None
+        else np.ones(topo.n_edges, dtype=bool),
+        "cell_valid": getattr(topo, "cell_valid_rows", None)
+        if getattr(topo, "cell_valid_rows", None) is not None
+        else np.ones(topo.n_cells, dtype=bool),
     }
     return {k: jnp.asarray(v) for k, v in host.items()}

@@ -85,11 +85,16 @@ class TableCodes:
 def build_pool(n_consumers: int,
                tables: Sequence[Tuple[np.ndarray, Optional[np.ndarray]]],
                n_src: int,
-               ghost_row_cap: int = 64) -> Tuple[PoolSpec, List[TableCodes]]:
+               ghost_row_cap: int = 64,
+               min_ghost_rows: int = 1
+               ) -> Tuple[PoolSpec, List[TableCodes]]:
     """Compute the shared pool + per-table codes for one source array.
 
     ``tables``: (table, mask) pairs indexing the same source array;
     they share the per-block pools (union of source sets).
+    ``min_ghost_rows`` forces a lower bound on the ghost-row count so
+    pools built for different shards of one mesh end up shape-identical
+    (required to stack engine arrays under shard_map).
     """
     nb = -(-n_consumers // KB)
     Nc_pad = nb * KB
@@ -134,7 +139,7 @@ def build_pool(n_consumers: int,
     # (sublane=C [padded to 8 by Mosaic], lane=GR*128), so GR only
     # needs lane granularity — keep it minimal.  Oversizing GR inflates
     # the per-iteration XLA ghost gathers (nb * GR * 128 rows) ~8x.
-    n_ghost_rows = max(-(-g_max // LANES), 1)
+    n_ghost_rows = max(-(-g_max // LANES), 1, min_ghost_rows)
     if n_ghost_rows > ghost_row_cap:
         raise ValueError(
             f"pool needs {n_ghost_rows} ghost rows > cap {ghost_row_cap}; "

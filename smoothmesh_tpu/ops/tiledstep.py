@@ -117,9 +117,16 @@ class TiledEngine:
     are pure jittable functions over planar device arrays.
     """
 
-    def __init__(self, topo, interpret: bool = False):
+    def __init__(self, topo, interpret: bool = False,
+                 ghost_rows: Optional[dict] = None):
         self.topo = topo
         self.interpret = interpret
+        # Forced per-pool ghost-row minima: shards of one mesh must
+        # build shape-identical engine arrays to stack under shard_map
+        # (parallel/halo.py builds engines twice: probe, then forced to
+        # the per-pool max over shards).
+        self._gr = ghost_rows or {}
+        gr = self._gr.get
         # All device arrays live here and are passed through jit as
         # ARGUMENTS (closure constants embed as HLO literals and
         # overflow the remote compiler at 1M+ cells — CLAUDE.md).
@@ -129,7 +136,8 @@ class TiledEngine:
 
         # ---- stage F: faces <- points --------------------------------
         self.f_pool, (self.f_codes,) = tiled.build_pool(
-            t.n_faces, [(t.face_points, t.face_mask)], t.n_points)
+            t.n_faces, [(t.face_points, t.face_mask)], t.n_points,
+            min_ghost_rows=gr("f", 1))
         A["f_mask"] = jnp.asarray(_planar_extra(t.face_mask))
         self.f_field = FieldSpec("pts", self.f_pool, 3)
         self._stage_f = stage_call(
@@ -143,7 +151,8 @@ class TiledEngine:
 
         # ---- stage C: cells <- face geometry -------------------------
         self.c_pool, (self.c_codes,) = tiled.build_pool(
-            t.n_cells, [(t.cell_faces, t.cell_faces_mask)], t.n_faces)
+            t.n_cells, [(t.cell_faces, t.cell_faces_mask)], t.n_faces,
+            min_ghost_rows=gr("c", 1))
         cell_ids = np.arange(t.n_cells, dtype=np.int64)[:, None]
         sign = np.where(t.owner[t.cell_faces] == cell_ids, 1.0, -1.0)
         sign = np.where(t.cell_faces_mask, sign, 0.0)
@@ -160,10 +169,11 @@ class TiledEngine:
 
         # ---- stage P: points <- cell centres + neighbour points ------
         self.p_cc_pool, (self.p_cc_codes,) = tiled.build_pool(
-            t.n_points, [(t.point_cells, t.point_cells_mask)], t.n_cells)
+            t.n_points, [(t.point_cells, t.point_cells_mask)], t.n_cells,
+            min_ghost_rows=gr("p_cc", 1))
         self.p_pp_pool, (self.p_pp_codes,) = tiled.build_pool(
             t.n_points, [(t.point_points, t.point_points_mask)],
-            t.n_points)
+            t.n_points, min_ghost_rows=gr("p_pp", 1))
         A["p_pc_mask"] = jnp.asarray(_planar_extra(t.point_cells_mask))
         A["p_pp_mask"] = jnp.asarray(_planar_extra(t.point_points_mask))
         A["p_share"] = jnp.asarray(_planar_extra_i32(
@@ -176,8 +186,11 @@ class TiledEngine:
         # iteration glue: padding lanes read as not-internal/not-valid
         A["p_intern_w"] = to_planar(jnp.asarray(
             t.is_internal_point[:, None].astype(np.float32)))
-        A["p_valid_w"] = to_planar(jnp.ones((t.n_points, 1),
-                                            jnp.float32))
+        pv = getattr(t, "point_valid_rows", None)
+        if pv is None:
+            pv = np.ones(t.n_points, bool)
+        A["p_valid_w"] = to_planar(jnp.asarray(
+            pv[:, None].astype(np.float32)))
         # 3-comp pool: _p_body never selects the volume row of cc4
         # (25% less MXU select work + ghost-gather width)
         self.p_cc_field = FieldSpec("cc", self.p_cc_pool, 3)
@@ -509,11 +522,14 @@ class TiledEngine:
         t = self.topo
         A = self.arrays
         self.e_pts_pool, (self.e_ep_codes,) = tiled.build_pool(
-            t.n_edges, [(t.edges, None)], t.n_points)
+            t.n_edges, [(t.edges, None)], t.n_points,
+            min_ghost_rows=self._gr.get("e_pts", 1))
         self.e_vm_pool, (self.e_ef_codes,) = tiled.build_pool(
-            t.n_edges, [(t.edge_faces, t.edge_faces_mask)], t.n_faces)
+            t.n_edges, [(t.edge_faces, t.edge_faces_mask)], t.n_faces,
+            min_ghost_rows=self._gr.get("e_vm", 1))
         self.e_cc_pool, (self.e_ec_codes,) = tiled.build_pool(
-            t.n_edges, [(t.edge_cells, t.edge_cells_mask)], t.n_cells)
+            t.n_edges, [(t.edge_cells, t.edge_cells_mask)], t.n_cells,
+            min_ghost_rows=self._gr.get("e_cc", 1))
         A["e_ec_mask"] = jnp.asarray(_planar_extra(t.edge_cells_mask))
         A["e_f0"] = jnp.asarray(_planar_extra_i32(t.edge_cell_f0))
         A["e_f1"] = jnp.asarray(_planar_extra_i32(t.edge_cell_f1))
@@ -544,7 +560,8 @@ class TiledEngine:
 
         # stage R: per-point u-space min/max over point_edges
         self.r_pool, (self.r_codes,) = tiled.build_pool(
-            t.n_points, [(t.point_edges, t.point_edges_mask)], t.n_edges)
+            t.n_points, [(t.point_edges, t.point_edges_mask)], t.n_edges,
+            min_ghost_rows=self._gr.get("r", 1))
         A["r_pe_mask"] = jnp.asarray(_planar_extra(t.point_edges_mask))
         self.r_field = FieldSpec("ue", self.r_pool, 2)
         self._stage_r = stage_call(
