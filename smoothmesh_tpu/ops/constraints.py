@@ -302,7 +302,8 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                                       min_angle_rad, max_angle_rad, frozen,
                                       chunk=None, fc_base=None,
                                       cur_minmax=None, u_space=False,
-                                      transposed=False, n_points=None):
+                                      transposed=False, n_points=None,
+                                      eligible=None):
     """Freeze points (and neighbours) whose moves deteriorate face-face
     angles already outside [min_angle, max_angle].
 
@@ -347,6 +348,13 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     det_eps = 1e-5 if (u_space and cur_minmax is not None) else 0.0
     # Points already in good range never freeze anyone (reference :1367)
     active = (cur_min_p <= min_angle_rad) | (cur_max_p >= max_angle_rad)
+    if eligible is not None:
+        # halo-sharded evaluation (parallel/halo.py): only points with
+        # a complete local stencil (owned points) may run self tests /
+        # originate pair freezes; their evaluations are exact, and the
+        # freeze targets they produce (themselves or any local
+        # neighbour) are OR-combined across shards by the caller
+        active = active & eligible
 
     # padded lanes of the planar form are never indexed (gather ids are
     # valid entity ids), so ``moving`` may stay lane-padded

@@ -1,0 +1,809 @@
+"""Halo-sharded select-engine smoothing — the fast multi-chip path.
+
+The XLA sharded driver (parallel/sharded.py) mirrors the reference's
+decomposition exactly: cell-disjoint shards, partial per-shard sums,
+and the ~12-sync-per-iteration structure of syncTools (SURVEY.md §5).
+That structure is MPI-shaped, not TPU-shaped: every sync is a small
+gather/scatter + collective between big fused kernels.
+
+This module instead uses an OVERLAP (halo) decomposition designed for
+the tile engine (ops/tiled.py / ops/tiledstep.py):
+
+  - Points are partitioned into OWNED sets (one owner per point).
+  - Each shard holds the vertex-complete 1-ring of its owned points:
+    every cell containing an owned point, with all of that cell's
+    faces/edges/points.  Hence every owned point's full smoothing
+    stencil (point_cells, point_points, point_faces, point_edges, and
+    the edge->face->cell closure used by the constraints) is local and
+    complete — per-shard kernels compute owned results EXACTLY, with no
+    partial-sum combines.
+  - Per iteration only three cross-shard exchanges remain:
+      1. proposal consensus — replicated (non-owned) copies of a point
+         adopt the owner's proposal (all stencil inputs of later
+         kernels are then globally consistent);
+      2. freeze-mask OR-combines (reference orEqOp semantics,
+         src/smoothMesh.C:2374-2380) after the stage-S constraints and
+         after the face-angle fixed point;
+      3. scalar allreduces for the residual / frozen count
+         (returnReduce, src/smoothMesh.C:1567,2396).
+    Everything else is the unmodified single-chip planar engine
+    iteration (driver.iteration_body_planar).
+
+Parity notes: with quality constraints disabled the per-shard results
+are exact, so sharded == serial bit-for-bit.  With constraints on, the
+face-angle fixed point runs shard-locally (like the reference's
+rank-local work stack) and freezes are OR-combined once — the same
+conservative cross-rank semantics as the reference's parallel mode
+(CLAUDE.md invariant).
+
+All shards execute one identical program under ``jax.shard_map``; the
+per-shard engine metadata (pool windows, codes, ghost ids, masks) is
+stacked into (D, ...) arrays, which requires every shard's engine to
+have identical static shapes — entity counts and table widths are
+padded to common targets (:func:`pad_topology`) and pool ghost rows are
+forced to the per-pool maximum (TiledEngine ``ghost_rows``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from smoothmesh_tpu.io.polymesh import Patch, PolyMesh
+from smoothmesh_tpu.mesh.topology import (
+    MeshTopology,
+    boundary_point_mask,
+    compile_topology,
+)
+from smoothmesh_tpu.parallel.partition import partition_cells
+
+KB = 2048   # entity-count rounding: ops/tiled.KB (consumer block size)
+
+
+# ---------------------------------------------------------------------------
+# Submesh extraction (vertex-complete local cell sets)
+# ---------------------------------------------------------------------------
+
+def extract_submesh(mesh: PolyMesh, cell_mask: np.ndarray,
+                    face_patch: np.ndarray):
+    """Extract the submesh of ``cell_mask`` cells.
+
+    Faces with exactly one local cell become a ``procBoundary``
+    processor patch; faces are flipped when their global owner is
+    off-shard so the local owner is always local (outward normals
+    preserved).  Returns (local PolyMesh, point l2g, cell l2g).
+
+    Same extraction semantics as parallel.partition.build_shards
+    (which keeps its own copy specialized to disjoint decompositions).
+    """
+    F = mesh.n_faces
+    Fi = mesh.n_internal_faces
+    owner = mesh.owner
+    neighbour = mesh.neighbour
+    flat = mesh.face_flat
+    offs = mesh.face_offsets
+
+    own_in = cell_mask[owner]
+    nei_in = np.zeros(F, dtype=bool)
+    nei_in[:Fi] = cell_mask[neighbour]
+    touch = own_in | nei_in
+    face_ids = np.where(touch)[0]
+
+    is_internal_local = own_in[face_ids] & nei_in[face_ids]
+    is_proc = (face_ids < Fi) & ~is_internal_local
+    n_patches = len(mesh.patches)
+    order = np.argsort(
+        np.where(is_internal_local, 0,
+                 np.where(is_proc, 2 + n_patches,
+                          1 + face_patch[face_ids])),
+        kind="stable",
+    )
+    face_ids = face_ids[order]
+    is_internal_local = is_internal_local[order]
+    is_proc = is_proc[order]
+
+    counts = offs[face_ids + 1] - offs[face_ids]
+    starts = offs[face_ids]
+    out_off = np.zeros(len(face_ids) + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_off[1:])
+    total = int(out_off[-1])
+    rep_row = np.repeat(np.arange(len(face_ids)), counts)
+    within = np.arange(total, dtype=np.int64) - out_off[rep_row]
+    sel_entries = flat[starts[rep_row] + within]
+    gids = np.unique(sel_entries)
+    g2l = np.full(mesh.n_points, -1, dtype=np.int64)
+    g2l[gids] = np.arange(len(gids))
+
+    cell_ids = np.where(cell_mask)[0]
+    c2l = np.full(mesh.n_cells, -1, dtype=np.int64)
+    c2l[cell_ids] = np.arange(len(cell_ids))
+
+    o = owner[face_ids]
+    if Fi > 0:
+        n = np.where(face_ids < Fi,
+                     neighbour[np.minimum(face_ids, Fi - 1)], -1)
+    else:
+        n = np.full(len(face_ids), -1, dtype=np.int64)
+    flips = ~cell_mask[o]
+    within_f = np.where(flips[rep_row],
+                        counts[rep_row] - 1 - within, within)
+    new_flat = g2l[flat[starts[rep_row] + within_f]]
+    new_owner = c2l[np.where(flips, n, o)]
+    new_neighbour = c2l[np.where(flips, o, n)[is_internal_local]]
+
+    patches = []
+    fp = face_patch[face_ids]
+    pos = int(is_internal_local.sum())
+    for pid, p in enumerate(mesh.patches):
+        cnt = int(((fp == pid) & ~is_internal_local & ~is_proc).sum())
+        patches.append(Patch(name=p.name, type=p.type, n_faces=cnt,
+                             start_face=pos))
+        pos += cnt
+    n_proc = int(is_proc.sum())
+    patches.append(Patch(name="procBoundary", type="processor",
+                         n_faces=n_proc, start_face=pos))
+
+    lmesh = PolyMesh(
+        points=mesh.points[gids],
+        face_flat=np.asarray(new_flat, dtype=np.int64),
+        face_offsets=out_off,
+        owner=np.asarray(new_owner, dtype=np.int64),
+        neighbour=np.asarray(new_neighbour, dtype=np.int64),
+        patches=patches,
+    )
+    return lmesh, gids, cell_ids
+
+
+# ---------------------------------------------------------------------------
+# Topology padding to common static shapes
+# ---------------------------------------------------------------------------
+
+def _pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
+    if a.shape[0] >= n:
+        return a
+    pad = np.full((n - a.shape[0],) + a.shape[1:], fill, dtype=a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+def _pad_cols(a: np.ndarray, w: int, fill=0) -> np.ndarray:
+    if a.shape[1] >= w:
+        return a
+    pad = np.full((a.shape[0], w - a.shape[1]) + a.shape[2:], fill,
+                  dtype=a.dtype)
+    return np.concatenate([a, pad], axis=1)
+
+
+def pad_topology(t: MeshTopology, n_points: int, n_cells: int,
+                 n_faces: int, n_edges: int,
+                 widths: Dict[str, int]) -> MeshTopology:
+    """Pad a compiled topology to common entity counts + table widths.
+
+    Padded rows carry all-False masks (their index entries are 0 and
+    never dereferenced through a True mask); explicit ``*_valid_rows``
+    attributes mark live rows (consumed by device.to_device and the
+    tile engine's planar glue).
+    """
+    w = widths
+    out = MeshTopology(
+        n_points=n_points, n_cells=n_cells, n_faces=n_faces,
+        n_internal_faces=t.n_internal_faces, n_edges=n_edges,
+        face_points=_pad_rows(_pad_cols(t.face_points, w["fp"]), n_faces),
+        face_points_next=_pad_rows(
+            _pad_cols(t.face_points_next, w["fp"]), n_faces),
+        face_mask=_pad_rows(_pad_cols(t.face_mask, w["fp"], False),
+                            n_faces, False),
+        face_npoints=_pad_rows(t.face_npoints, n_faces, 1),
+        owner=_pad_rows(t.owner, n_faces),
+        neighbour=_pad_rows(t.neighbour, n_faces),
+        has_neighbour=_pad_rows(t.has_neighbour, n_faces, False),
+        edges=_pad_rows(t.edges, n_edges),
+        edge_faces=_pad_rows(_pad_cols(t.edge_faces, w["ef"]), n_edges),
+        edge_faces_mask=_pad_rows(
+            _pad_cols(t.edge_faces_mask, w["ef"], False), n_edges, False),
+        edge_cells=_pad_rows(_pad_cols(t.edge_cells, w["ec"]), n_edges),
+        edge_cells_mask=_pad_rows(
+            _pad_cols(t.edge_cells_mask, w["ec"], False), n_edges, False),
+        edge_cell_f0=_pad_rows(_pad_cols(t.edge_cell_f0, w["ec"]),
+                               n_edges),
+        edge_cell_f1=_pad_rows(_pad_cols(t.edge_cell_f1, w["ec"]),
+                               n_edges),
+        point_points=_pad_rows(_pad_cols(t.point_points, w["pp"]),
+                               n_points),
+        point_points_mask=_pad_rows(
+            _pad_cols(t.point_points_mask, w["pp"], False), n_points,
+            False),
+        point_cells=_pad_rows(_pad_cols(t.point_cells, w["pc"]),
+                              n_points),
+        point_cells_mask=_pad_rows(
+            _pad_cols(t.point_cells_mask, w["pc"], False), n_points,
+            False),
+        point_faces=_pad_rows(_pad_cols(t.point_faces, w["pf"]),
+                              n_points),
+        point_faces_mask=_pad_rows(
+            _pad_cols(t.point_faces_mask, w["pf"], False), n_points,
+            False),
+        point_edges=_pad_rows(_pad_cols(t.point_edges, w["pe"]),
+                              n_points),
+        point_edges_mask=_pad_rows(
+            _pad_cols(t.point_edges_mask, w["pe"], False), n_points,
+            False),
+        point_edges_side=_pad_rows(
+            _pad_cols(t.point_edges_side, w["pe"]), n_points),
+        wedge_prev=_pad_rows(_pad_cols(t.wedge_prev, w["pf"]), n_points),
+        wedge_next=_pad_rows(_pad_cols(t.wedge_next, w["pf"]), n_points),
+        cell_faces=_pad_rows(_pad_cols(t.cell_faces, w["cf"]), n_cells),
+        cell_faces_mask=_pad_rows(
+            _pad_cols(t.cell_faces_mask, w["cf"], False), n_cells, False),
+        is_internal_point=_pad_rows(t.is_internal_point, n_points, False),
+        face_patch=_pad_rows(t.face_patch, n_faces, -1),
+        patch_names=t.patch_names,
+        patch_types=t.patch_types,
+    )
+    out.point_valid_rows = _pad_rows(
+        np.ones(t.n_points, dtype=bool), n_points, False)
+    out.edge_valid_rows = _pad_rows(
+        np.ones(t.n_edges, dtype=bool), n_edges, False)
+    out.cell_valid_rows = _pad_rows(
+        np.ones(t.n_cells, dtype=bool), n_cells, False)
+    return out
+
+
+def _round_kb(n: int) -> int:
+    return -(-n // KB) * KB
+
+
+# ---------------------------------------------------------------------------
+# Halo shard build
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class HaloShards:
+    n_shards: int
+    topos: List[MeshTopology]           # per-shard padded local topology
+    local_points: np.ndarray            # (D, Npad, 3) initial coords
+    owned: np.ndarray                   # (D, Npad) bool — shard owns point
+    l2g: List[np.ndarray]               # per shard: local (permuted) -> global
+    orders: List                        # per-shard MeshOrders
+    # Replicated-point routing (points on >1 shard):
+    shared_slot_local: np.ndarray       # (D, S) local idx or OOB sentinel
+    shared_valid: np.ndarray            # (D, S)
+    shared_owner_is_me: np.ndarray      # (D, S)
+    point_owner_shard: np.ndarray       # (Nglobal,)
+    point_owner_local: np.ndarray       # (Nglobal,) local idx on owner
+    oob: int                            # the OOB sentinel value
+    # Global mesh stats assembled from per-shard pieces (every edge
+    # lives on >= 1 shard), so the driver needs no global topology
+    min_edge_length: float = 0.0
+    max_edge_length: float = 0.0
+
+    @property
+    def n_padded_points(self) -> int:
+        return self.local_points.shape[1]
+
+    def gather_global_points(self, local_points) -> np.ndarray:
+        lp = np.asarray(local_points)
+        return lp[self.point_owner_shard, self.point_owner_local]
+
+
+def build_halo_shards(mesh: PolyMesh, n_shards: int,
+                      cell_shard: Optional[np.ndarray] = None
+                      ) -> HaloShards:
+    from smoothmesh_tpu.mesh.tiling import permute_mesh
+
+    if cell_shard is None:
+        cell_shard = partition_cells(mesh, n_shards)
+    D = n_shards
+    N, C, F = mesh.n_points, mesh.n_cells, mesh.n_faces
+    Fi = mesh.n_internal_faces
+    global_internal = ~boundary_point_mask(mesh)
+
+    face_patch = np.full(F, -1, dtype=np.int64)
+    for pid, p in enumerate(mesh.patches):
+        face_patch[p.start_face: p.start_face + p.n_faces] = pid
+
+    # (point, cell) incidences via faces
+    flat = mesh.face_flat
+    offs = mesh.face_offsets
+    counts = np.diff(offs)
+    face_of = np.repeat(np.arange(F), counts)
+    has_n = np.zeros(F, dtype=bool)
+    has_n[:Fi] = True
+    inc_pt = np.concatenate([flat, flat[has_n[face_of]]])
+    neigh_full = np.full(F, -1, dtype=np.int64)
+    neigh_full[:Fi] = mesh.neighbour
+    inc_cl = np.concatenate([mesh.owner[face_of],
+                             neigh_full[face_of][has_n[face_of]]])
+
+    # Point owner: min shard over incident cells (deterministic)
+    point_owner = np.full(N, D, dtype=np.int64)
+    np.minimum.at(point_owner, inc_pt, cell_shard[inc_cl])
+    if np.any(point_owner >= D):
+        raise ValueError("points without incident cells")
+
+    # Local cell sets: every cell containing an owned point
+    local = np.zeros((D, C), dtype=bool)
+    local[point_owner[inc_pt], inc_cl] = True
+    # the owning shard's own cells are trivially included
+    local[cell_shard, np.arange(C)] = True
+
+    topos_raw: List[MeshTopology] = []
+    l2g: List[np.ndarray] = []
+    orders_list = []
+    pts_list = []
+    owned_list = []
+    min_edge, max_edge = np.inf, 0.0
+
+    for d in range(D):
+        lmesh, gids, _cells = extract_submesh(mesh, local[d], face_patch)
+        pmesh, orders = permute_mesh(lmesh)
+        topo = compile_topology(pmesh)
+        gids_perm = gids[orders.point_old]     # new local idx -> global
+        topo.is_internal_point = global_internal[gids_perm]
+        elen = np.linalg.norm(
+            pmesh.points[topo.edges[:, 0]] - pmesh.points[topo.edges[:, 1]],
+            axis=1)
+        min_edge = min(min_edge, float(elen.min()))
+        max_edge = max(max_edge, float(elen.max()))
+        topos_raw.append(topo)
+        l2g.append(gids_perm)
+        orders_list.append(orders)
+        pts_list.append(pmesh.points)
+        owned_list.append(point_owner[gids_perm] == d)
+
+    # Common static shapes (rounded to the engine's consumer block)
+    n_pts = _round_kb(max(t.n_points for t in topos_raw))
+    n_cls = _round_kb(max(t.n_cells for t in topos_raw))
+    n_fcs = _round_kb(max(t.n_faces for t in topos_raw))
+    n_edg = _round_kb(max(t.n_edges for t in topos_raw))
+    widths = {
+        "fp": max(t.face_points.shape[1] for t in topos_raw),
+        "ef": max(t.edge_faces.shape[1] for t in topos_raw),
+        "ec": max(t.edge_cells.shape[1] for t in topos_raw),
+        "pp": max(t.point_points.shape[1] for t in topos_raw),
+        "pc": max(t.point_cells.shape[1] for t in topos_raw),
+        "pf": max(t.point_faces.shape[1] for t in topos_raw),
+        "pe": max(t.point_edges.shape[1] for t in topos_raw),
+        "cf": max(t.cell_faces.shape[1] for t in topos_raw),
+    }
+    topos = [pad_topology(t, n_pts, n_cls, n_fcs, n_edg, widths)
+             for t in topos_raw]
+
+    pts = np.zeros((D, n_pts, 3))
+    owned = np.zeros((D, n_pts), dtype=bool)
+    for d in range(D):
+        pts[d, :len(pts_list[d])] = pts_list[d]
+        owned[d, :len(owned_list[d])] = owned_list[d]
+
+    # Replicated points + routing.  OOB sentinel = planar width so
+    # scatters into planar (C, W) arrays drop absent slots.
+    from smoothmesh_tpu.ops.tiled import planar_width
+
+    oob = planar_width(n_pts)
+    count = np.zeros(N, dtype=np.int64)
+    for g in l2g:
+        count[g] += 1
+    shared_gids = np.where(count > 1)[0]
+    S = max(len(shared_gids), 1)     # keep collectives non-empty
+
+    slot_local = np.full((D, S), oob, dtype=np.int64)
+    valid = np.zeros((D, S), dtype=bool)
+    for d, g in enumerate(l2g):
+        g2l = np.full(N, -1, dtype=np.int64)
+        g2l[g] = np.arange(len(g))
+        li = g2l[shared_gids] if len(shared_gids) else np.zeros(0, np.int64)
+        has = li >= 0
+        slot_local[d, :len(shared_gids)][has] = li[has]
+        valid[d, :len(shared_gids)] = has
+    owner_is_me = np.zeros((D, S), dtype=bool)
+    if len(shared_gids):
+        owner_is_me[:, :len(shared_gids)] = (
+            point_owner[shared_gids][None, :]
+            == np.arange(D)[:, None])
+
+    owner_local = np.full(N, -1, dtype=np.int64)
+    for d, g in enumerate(l2g):
+        mine = point_owner[g] == d
+        owner_local[g[mine]] = np.where(mine)[0]
+    if np.any(owner_local < 0):
+        raise ValueError("point not present on its owner shard")
+
+    return HaloShards(
+        n_shards=D, topos=topos, local_points=pts, owned=owned,
+        l2g=l2g, orders=orders_list,
+        shared_slot_local=slot_local, shared_valid=valid,
+        shared_owner_is_me=owner_is_me,
+        point_owner_shard=point_owner,
+        point_owner_local=owner_local, oob=oob,
+        min_edge_length=min_edge, max_edge_length=max_edge,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device side: planar-layout halo sync + stacked engines + driver
+# ---------------------------------------------------------------------------
+
+class PlanarSync:
+    """Cross-shard combines on PLANAR (C, W) point arrays.
+
+    The tile engine's fields put components on sublanes and points on
+    lanes; replicated-point slots address lane positions directly
+    (slot == local point index; OOB sentinel >= W drops).  Runs inside
+    ``shard_map``; sums/maxes ride XLA collectives over ICI — the
+    syncTools role (SURVEY.md §5) with the halo decomposition's reduced
+    op set: owner consensus, orEqOp, returnReduce.
+    """
+
+    def __init__(self, slot, valid, owner_is_me, axis: str = "shard"):
+        self.slot = slot
+        self.valid = valid
+        self.owner = owner_is_me
+        self.axis = axis
+
+    def consensus(self, planar, rows: int = 3):
+        """Replicas of each shared point adopt the owner's value."""
+        import jax
+        import jax.numpy as jnp
+
+        safe = jnp.minimum(self.slot, planar.shape[1] - 1)
+        v = planar[:rows, safe]                       # (rows, S)
+        v = jnp.where((self.valid & self.owner)[None, :], v, 0.0)
+        tot = jax.lax.psum(v, self.axis)
+        return planar.at[:rows, self.slot].set(tot, mode="drop")
+
+    def or_mask(self, mask):
+        """orEqOp<bool> over a (W,) lane-aligned mask."""
+        import jax
+        import jax.numpy as jnp
+
+        safe = jnp.minimum(self.slot, mask.shape[0] - 1)
+        v = jnp.where(self.valid, mask[safe], False)
+        tot = jax.lax.psum(v.astype(jnp.int32), self.axis) > 0
+        return mask.at[self.slot].set(tot, mode="drop")
+
+    def all_max(self, x):
+        import jax
+
+        return jax.lax.pmax(x, self.axis)
+
+    def all_sum(self, x):
+        import jax
+
+        return jax.lax.psum(x, self.axis)
+
+
+_POOL_ATTRS = {
+    "f": "f_pool", "c": "c_pool", "p_cc": "p_cc_pool",
+    "p_pp": "p_pp_pool", "e_pts": "e_pts_pool", "e_vm": "e_vm_pool",
+    "e_cc": "e_cc_pool", "r": "r_pool",
+}
+
+
+def probe_ghost_rows(t: MeshTopology) -> Dict[str, int]:
+    """Natural ghost-row counts of every engine pool for one topology
+    (cheap pre-pass so shards can force the common maximum)."""
+    from smoothmesh_tpu.ops import tiled
+
+    def g(n_cons, tables, n_src):
+        pool, _ = tiled.build_pool(n_cons, tables, n_src)
+        return pool.n_ghost_rows
+
+    return {
+        "f": g(t.n_faces, [(t.face_points, t.face_mask)], t.n_points),
+        "c": g(t.n_cells, [(t.cell_faces, t.cell_faces_mask)], t.n_faces),
+        "p_cc": g(t.n_points, [(t.point_cells, t.point_cells_mask)],
+                  t.n_cells),
+        "p_pp": g(t.n_points, [(t.point_points, t.point_points_mask)],
+                  t.n_points),
+        "e_pts": g(t.n_edges, [(t.edges, None)], t.n_points),
+        "e_vm": g(t.n_edges, [(t.edge_faces, t.edge_faces_mask)],
+                  t.n_faces),
+        "e_cc": g(t.n_edges, [(t.edge_cells, t.edge_cells_mask)],
+                  t.n_cells),
+        "r": g(t.n_points, [(t.point_edges, t.point_edges_mask)],
+               t.n_edges),
+    }
+
+
+def build_stacked_engines(topos, interpret: bool):
+    """Per-shard TiledEngines with identical static shapes.
+
+    Returns (template engine, stacked arrays {name: (D, ...) np}).
+    The template's stage functions are pure shape-parameterized
+    programs — every shard runs them on its own slice of the stacked
+    arrays under shard_map.
+    """
+    from smoothmesh_tpu.ops.tiledstep import TiledEngine
+
+    probes = [probe_ghost_rows(t) for t in topos]
+    gr = {k: max(p[k] for p in probes) for k in probes[0]}
+    engines = [TiledEngine(t, interpret=interpret, ghost_rows=gr)
+               for t in topos]
+    e0 = engines[0]
+    for e in engines[1:]:
+        for k in _POOL_ATTRS.values():
+            if getattr(e, k).n_pool_rows != getattr(e0, k).n_pool_rows:
+                raise AssertionError(f"pool {k} shape mismatch")
+    stacked = {}
+    for k in e0.arrays:
+        parts = [np.asarray(e.arrays[k]) for e in engines]
+        shapes = {p.shape for p in parts}
+        if len(shapes) != 1:
+            raise AssertionError(f"engine array {k} shapes differ: {shapes}")
+        stacked[k] = np.stack(parts)
+    return e0, stacked
+
+
+class HaloSmoother:
+    """Multi-chip smoothing on the tile engine (halo decomposition).
+
+    Internal (default-constraint) smoothing only — the layer/boundary
+    pipelines run on :class:`~smoothmesh_tpu.parallel.sharded
+    .ShardedSmoother`'s reference-structured path.  Surface API matches
+    driver.Smoother (steps/run/quality/denormalize).
+    """
+
+    def __init__(self, mesh: PolyMesh, params, n_devices=None,
+                 dtype=None, normalize: bool = True, devices=None):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from smoothmesh_tpu import quality
+        from smoothmesh_tpu.driver import default_face_angle_chunk
+        from smoothmesh_tpu.ops.tiled import planar_width, to_planar
+        from smoothmesh_tpu.device import to_device
+
+        if devices is None:
+            devices = jax.devices()
+            if n_devices is not None:
+                devices = devices[:n_devices]
+        self.devices = list(devices)
+        D = len(self.devices)
+        self.mesh_host = mesh
+        self.dtype = jnp.dtype(dtype) if dtype is not None else jnp.float32
+        if self.dtype != jnp.float32:
+            raise ValueError("tile engine is float32-only")
+
+        self.shards = build_halo_shards(mesh, D)
+        sh = self.shards
+        pts = mesh.points
+        mins, maxs = pts.min(0), pts.max(0)
+        self.stats = quality.MeshStats(
+            sh.min_edge_length, sh.max_edge_length,
+            float((maxs[0] - mins[0]) + (maxs[1] - mins[1])
+                  + (maxs[2] + mins[2])))
+        self.params = params.resolve(self.stats.min_edge_length)
+        if self.params.layer_max_blending_fraction > 1e-15 and len(
+                self.params.layer_patches):
+            lids = sh.topos[0].patch_ids_matching(self.params.layer_patches)
+            if len(lids):
+                raise ValueError(
+                    "HaloSmoother is internal-smoothing only; use "
+                    "ShardedSmoother for layer/boundary runs")
+
+        if normalize:
+            self._center = mesh.points.mean(axis=0)
+            self._scale = 1.0 / max(self.stats.min_edge_length, 1e-300)
+        else:
+            self._center = np.zeros(3)
+            self._scale = 1.0
+
+        interpret = jax.default_backend() != "tpu"
+        self.engine, stacked_arr = build_stacked_engines(
+            sh.topos, interpret)
+        tds = [to_device(t) for t in sh.topos]
+        tds = [{k: np.asarray(v) for k, v in td.items()} for td in tds]
+        td_stack = {k: np.stack([td[k] for td in tds]) for k in tds[0]}
+
+        self.jmesh = Mesh(np.array(self.devices), ("shard",))
+        shard0 = NamedSharding(self.jmesh, P("shard"))
+
+        def put(x):
+            return jax.device_put(jnp.asarray(x), shard0)
+
+        self.td = {k: put(v) for k, v in td_stack.items()}
+        self.arrays = {k: put(v) for k, v in stacked_arr.items()}
+
+        # initial planar point state (4, W): xyz + is-internal flag
+        Wpl = planar_width(sh.n_padded_points)
+        pts_n = ((sh.local_points - self._center) * self._scale)
+        p4 = np.zeros((D, 4, Wpl), np.float32)
+        for d in range(D):
+            p4[d, :3, :sh.n_padded_points] = pts_n[d].T
+            p4[d, 3, :sh.n_padded_points] = \
+                sh.topos[d].is_internal_point.astype(np.float32)
+        self.pts4 = put(p4)
+        ow = np.zeros((D, Wpl), dtype=bool)
+        ow[:, :sh.n_padded_points] = sh.owned
+        self.owned = put(ow)
+        self.slot = put(sh.shared_slot_local.astype(np.int32))
+        self.valid = put(sh.shared_valid)
+        self.owner_is_me = put(sh.shared_owner_is_me)
+
+        self.face_angle_chunk = default_face_angle_chunk(sh.topos[0])
+        self.iter_batch = int(
+            __import__("os").environ.get("SMOOTHMESH_ITER_BATCH", "8"))
+        self._batch = None
+        self._iteration = 0
+
+    def enable_boundary_smoothing(self, *args, **kwargs):
+        raise NotImplementedError(
+            "HaloSmoother is internal-smoothing only; construct the "
+            "sharded driver with use_tile_engine=False (ShardedSmoother) "
+            "for boundary point smoothing")
+
+    # -- jitted batched step ------------------------------------------------
+    def _build_batch(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        from smoothmesh_tpu.driver import iteration_body_planar
+
+        p = self.params
+        s = self._scale
+        chunk = self.face_angle_chunk
+        engine = self.engine
+        B = self.iter_batch
+        td_specs = {k: P("shard") for k in self.td}
+        arr_specs = {k: P("shard") for k in self.arrays}
+
+        def local_batch(pts4, td, arr, slot, valid, own, owned, n_valid):
+            sync = PlanarSync(slot[0], valid[0], own[0])
+            halo = {"sync": sync, "owned": owned[0]}
+            tdl = {k: v[0] for k, v in td.items()}
+            arrl = {k: v[0] for k, v in arr.items()}
+
+            def body(i, state):
+                pl, done, o_res, o_nf, o_ran = state
+                skip = done | (i >= n_valid)
+                new_pl, res, nf = iteration_body_planar(
+                    pl, tdl, p, s, chunk, engine, arrl, skip=skip,
+                    halo=halo)
+                new_done = skip | (res < p.rel_tol)
+                zero = jnp.asarray(0, jnp.int32)
+                return (new_pl, new_done,
+                        o_res.at[i].set(jnp.where(
+                            skip, jnp.nan, res).astype(jnp.float32)),
+                        o_nf.at[i].set(jnp.where(
+                            skip, zero, nf.astype(jnp.int32))),
+                        o_ran.at[i].set(~skip))
+
+            init = (pts4[0], jnp.asarray(False),
+                    jnp.zeros(B, jnp.float32), jnp.zeros(B, jnp.int32),
+                    jnp.zeros(B, bool))
+            pl, _, o_res, o_nf, o_ran = jax.lax.fori_loop(
+                0, B, body, init)
+            return (pl[None], o_res[None], o_nf[None], o_ran[None])
+
+        sm = jax.shard_map(
+            local_batch,
+            mesh=self.jmesh,
+            in_specs=(P("shard"), td_specs, arr_specs, P("shard"),
+                      P("shard"), P("shard"), P("shard"), P()),
+            out_specs=(P("shard"), P("shard"), P("shard"), P("shard")),
+            check_vma=False,
+        )
+        return jax.jit(sm)
+
+    def steps(self, n: int):
+        import time
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from smoothmesh_tpu.driver import StepResult
+
+        if self._batch is None:
+            self._batch = self._build_batch()
+        results = []
+        p = self.params
+        while n > 0:
+            n_valid = min(n, self.iter_batch)
+            t0 = time.time()
+            pts4, res, nf, ran = self._batch(
+                self.pts4, self.td, self.arrays, self.slot, self.valid,
+                self.owner_is_me, self.owned,
+                jnp.asarray(n_valid, jnp.int32))
+            res = np.asarray(res)[0]          # host sync
+            wall = (time.time() - t0) * 1e3
+            nf = np.asarray(nf)[0]
+            k = int(np.asarray(ran)[0].sum())
+            self.pts4 = pts4
+            for i in range(k):
+                self._iteration += 1
+                results.append(StepResult(
+                    self._iteration, float(res[i]), int(nf[i]),
+                    wall / max(k, 1)))
+            if k == 0 or res[k - 1] < p.rel_tol:
+                break
+            n -= k
+        return results
+
+    def step(self):
+        r = self.steps(1)
+        return r[0] if r else None
+
+    def run(self, log=print, on_write=None, profile_dir=None):
+        import contextlib
+        import time
+
+        import jax
+
+        from smoothmesh_tpu.driver import StepResult
+
+        ctx = (jax.profiler.trace(profile_dir) if profile_dir
+               else contextlib.nullcontext())
+        p = self.params
+        t0 = time.time()
+        result = StepResult(0, float("inf"), 0)
+        iter_ms = []
+        done = 0
+        with ctx:
+            while done < p.centroidal_iters:
+                n = p.centroidal_iters - done
+                if on_write and p.write_interval > 0:
+                    boundary = ((done // p.write_interval) + 1) \
+                        * p.write_interval
+                    n = min(n, boundary - done)
+                rs = self.steps(n)
+                for r in rs:
+                    iter_ms.append(r.wall_ms)
+                    if log:
+                        log(f"Smoothing iteration={r.iteration} "
+                            f"nFrozenPoints={r.n_frozen} "
+                            f"residual={r.residual:.6g}")
+                if rs:
+                    result = rs[-1]
+                done += len(rs)
+                stop = result.residual < p.rel_tol
+                if stop and log:
+                    log("Residual reached relTol, stopping.")
+                if on_write and (stop or done >= p.centroidal_iters
+                                 or (p.write_interval > 0
+                                     and done % p.write_interval == 0
+                                     and done > 1)):
+                    on_write(result.iteration, self.denormalize())
+                if stop or not rs:
+                    break
+        if log:
+            skip = min(max(self.iter_batch, 1), max(len(iter_ms) - 1, 0))
+            steady = iter_ms[skip:] or iter_ms
+            if steady:
+                mean_ms = sum(steady) / len(steady)
+                rate = self.mesh_host.n_points / (mean_ms / 1e3)
+                log(f"Performance: {mean_ms:.1f} ms/iteration, "
+                    f"{rate:,.0f} point-updates/s "
+                    f"({self.shards.n_shards} halo shards)")
+            log(f"ClockTime = {time.time() - t0:.1f} s.")
+        return result
+
+    # -- host-side assembly -------------------------------------------------
+    @property
+    def points(self):
+        """(D, Npad, 3) local point blocks (normalized coords)."""
+        import numpy as np
+
+        p4 = np.asarray(self.pts4)
+        return np.transpose(
+            p4[:, :3, :self.shards.n_padded_points], (0, 2, 1))
+
+    def denormalize(self, pts=None) -> np.ndarray:
+        lp = np.asarray(self.points if pts is None else pts,
+                        dtype=np.float64)
+        glob = self.shards.gather_global_points(lp)
+        return glob / self._scale + self._center
+
+    def quality(self) -> dict:
+        import jax.numpy as jnp
+
+        from smoothmesh_tpu import quality
+        from smoothmesh_tpu.device import to_device
+        from smoothmesh_tpu.mesh.topology import compile_topology
+
+        if not hasattr(self, "_global_topo"):
+            self._global_topo = compile_topology(self.mesh_host)
+        td = to_device(self._global_topo)
+        return quality.quality_report(jnp.asarray(self.denormalize()), td)
