@@ -228,10 +228,15 @@ def iteration_body_planar(pts4, td, params: SmoothingParams, scale: float,
 
     W = pts4.shape[1]
 
+    from smoothmesh_tpu.ops.tiled import ghosts_planar
+
     geom6, vm3 = engine.face_geometry(arr, pts4[:3])
     cc4 = engine.cell_centres_vols(arr, geom6)
+    # one pts4 ghost gather shared by the predictor and stage S (same
+    # p_pp pool ids)
+    gh_pp4 = ghosts_planar(pts4, arr["p_pp_gids"])
     prop4 = engine.predictor(arr, pts4, cc4, max_step, p.rel_step_frac,
-                             False)
+                             False, gh_pp=gh_pp4)
     if prop4.shape[1] < W:      # tiny meshes: stage width < 2 spans
         prop4 = jnp.pad(prop4, ((0, 0), (0, W - prop4.shape[1])))
     if halo is not None:
@@ -241,7 +246,8 @@ def iteration_body_planar(pts4, td, params: SmoothingParams, scale: float,
     frozen_pl = jnp.zeros((1, W), jnp.float32)
     frozen_pl = engine.freeze_constraints(
         arr, pts4, prop4, frozen_pl, min_edge,
-        p.total_min_freeze, p.min_angle_rad, p.edge_angle_constraint)
+        p.total_min_freeze, p.min_angle_rad, p.edge_angle_constraint,
+        gh_pp=gh_pp4)
     # everything below stays at the FULL padded width W: unaligned
     # lane slices/concats at N force whole-array relayouts on TPU
     frozen = frozen_pl[0] > 0.5

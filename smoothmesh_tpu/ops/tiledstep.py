@@ -755,7 +755,7 @@ class TiledEngine:
 
     def predictor(self, arr, pts4_planar: jnp.ndarray, cc4: jnp.ndarray,
                   max_step: float, rel_step_frac: float,
-                  do_boundary: bool):
+                  do_boundary: bool, gh_pp=None):
         """Centroidal + AR + limiter -> (4, N_pad) [proposal | curmin].
 
         pts4_planar: (4, N_pad) [x|y|z|is_internal] current points.
@@ -764,7 +764,8 @@ class TiledEngine:
         fn = self._get_stage_p(max_step, rel_step_frac, do_boundary)
         cc3 = cc4[:3]
         gh_cc = ghosts_planar(cc3, arr["p_cc_gids"])
-        gh_pp = ghosts_planar(pts4_planar, arr["p_pp_gids"])
+        if gh_pp is None:
+            gh_pp = ghosts_planar(pts4_planar, arr["p_pp_gids"])
         return fn(arr["p_win"], [arr["p_cc_codes"], arr["p_pp_codes"]],
                   {"cc": (cc3, gh_cc), "pts4": (pts4_planar, gh_pp)},
                   arr["p_pc_mask"], arr["p_pp_mask"], arr["p_share"],
@@ -773,16 +774,20 @@ class TiledEngine:
     def freeze_constraints(self, arr, pts4_planar: jnp.ndarray,
                            prop4: jnp.ndarray, frozen_in: jnp.ndarray,
                            min_edge: float, total_min_freeze: bool,
-                           min_angle_rad: float, edge_angle_on: bool):
+                           min_angle_rad: float, edge_angle_on: bool,
+                           gh_pp=None):
         """Edge-shortening + edge-angle freeze mask -> (1, N_pad) f32.
 
-        frozen_in: (1, N_pad) f32 0/1 mask to OR into.
+        frozen_in: (1, N_pad) f32 0/1 mask to OR into.  ``gh_pp``: the
+        predictor's (4, ...) pts4 ghost gather, reused for the current
+        coordinates (same pool ids) — saves one XLA gather.
         """
         fn = self._get_stage_s(min_edge, total_min_freeze,
                                min_angle_rad, edge_angle_on)
         cur3 = pts4_planar[:3]
         prop3 = prop4[:3]
-        gh_cur = ghosts_planar(cur3, arr["p_pp_gids"])
+        gh_cur = (gh_pp[:3] if gh_pp is not None
+                  else ghosts_planar(cur3, arr["p_pp_gids"]))
         gh_prop = ghosts_planar(prop3, arr["p_pp_gids"])
         win = jnp.concatenate([arr["p_win"][1:2], arr["p_win"][1:2]],
                               axis=0)
