@@ -28,13 +28,27 @@ from smoothmesh_tpu.params import SmoothingParams  # noqa: E402
 
 N = int(os.environ.get("N", "64"))
 LOGDIR = os.environ.get("LOGDIR", "/tmp/smprof")
+BOUNDARY = os.environ.get("BOUNDARY") == "1"   # bench boundary mode
 
-base = hex_block(n=(N, N, N), grading=(2.0, 1.0, 0.5))
+patches = ({"top": ["zmax"],
+            "rest": ["xmin", "xmax", "ymin", "ymax", "zmin"]}
+           if BOUNDARY else "default")
+base = hex_block(n=(N, N, N), grading=(2.0, 1.0, 0.5), patches=patches)
 min_spacing = min(np.diff(np.unique(base.points[:, a])).min()
                   for a in range(3))
 mesh = perturb(base, amplitude=0.25 * min_spacing, seed=3)
-params = SmoothingParams(centroidal_iters=1, rel_tol=0.0)
+if BOUNDARY:
+    import bench
+
+    params = SmoothingParams(centroidal_iters=1, rel_tol=0.0,
+                             smoothing_patches=("top",),
+                             layer_patches=("top",),
+                             min_angle=15.0, ray_miss_fatal=False)
+else:
+    params = SmoothingParams(centroidal_iters=1, rel_tol=0.0)
 sm = Smoother(mesh, params, dtype=np.float32)
+if BOUNDARY:
+    sm.enable_boundary_smoothing(*bench._dome_geometry())
 
 # warm up: compile + 2 steady dispatches
 sm.steps(sm.iter_batch)

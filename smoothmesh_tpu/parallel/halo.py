@@ -624,7 +624,7 @@ class HaloSmoother:
 
         self.face_angle_chunk = default_face_angle_chunk(sh.topos[0])
         self.iter_batch = int(
-            __import__("os").environ.get("SMOOTHMESH_ITER_BATCH", "8"))
+            __import__("os").environ.get("SMOOTHMESH_ITER_BATCH", "16"))
         self._batch = None
         self._iteration = 0
 
