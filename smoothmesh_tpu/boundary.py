@@ -374,25 +374,43 @@ def feature_edge_projections(points, bd, sync=None):
     Returns (sums (N,3), counts (N,)) after halo combine; the caller
     divides (reference :898).
     """
-    fn = bd["feat_neigh"]                                # (N, W)
-    fm = bd["feat_neigh_mask"]
-    N, W = fn.shape
+    N = points.shape[0]
+    rows = bd.get("feat_rows")
+    if rows is not None:
+        # Static compaction: only feature points have neighbours to
+        # project (a few hundred vs N) — the dense evaluation was
+        # ~60 ms/iter at 64^3 (round-3 boundary profile); rows are
+        # padded with N (dropped on scatter-back)
+        safe = jnp.minimum(rows, N - 1)
+        fn = bd["feat_neigh"][safe]                      # (K, W)
+        fm = bd["feat_neigh_mask"][safe] & (rows < N)[:, None]
+        pstr_rows = bd["point_strings"][safe]
+    else:
+        fn = bd["feat_neigh"]                            # (N, W)
+        fm = bd["feat_neigh_mask"]
+        pstr_rows = bd["point_strings"]
+    K, W = fn.shape
     ea = bd["edge_a"]
     eb = bd["edge_b"]
     estr = bd["edge_strings"]                            # (E,)
 
     flat = fn.reshape(-1)
-    pts = points[flat]                                   # (N*W, 3)
+    pts = points[flat]                                   # (K*W, 3)
     proj, dist = _project_to_edges_dev(pts, ea, eb)
-    pstr = jnp.repeat(bd["point_strings"], W)
+    pstr = jnp.repeat(pstr_rows, W)
     allowed = (pstr[:, None] < 0) | (estr[None, :] == pstr[:, None])
     dist = jnp.where(allowed, dist, jnp.inf)
     best = jnp.argmin(dist, axis=1)
     bestp = jnp.take_along_axis(proj, best[:, None, None], axis=1)[:, 0]
-    bestp = bestp.reshape(N, W, 3)
+    bestp = bestp.reshape(K, W, 3)
     m = fm[..., None].astype(points.dtype)
     sums = jnp.sum(bestp * m, axis=1)
     counts = jnp.sum(fm, axis=1)
+    if rows is not None:
+        sums = jnp.zeros((N, 3), points.dtype).at[rows].set(
+            sums, mode="drop")
+        counts = jnp.zeros((N,), counts.dtype).at[rows].set(
+            counts, mode="drop")
     if sync is not None:
         sums = sync.sum(sums)
         counts = sync.sum(counts)
@@ -518,8 +536,24 @@ def project_boundary_points(points, proposal, normals, frozen, bd, td,
     if bd.get("tri_packed") is not None and out.dtype == jnp.float32:
         from smoothmesh_tpu.ops.raycast import segment_triangle_hits_pallas
 
-        tp, tn = segment_triangle_hits_pallas(
-            out, normals, max_dist, bd["tri_packed"], bd["n_tri"])
+        N = out.shape[0]
+        rows = bd.get("surf_rows")
+        if rows is not None:
+            # Static compaction: only free smoothing-surface candidate
+            # points cast rays (the static classified superset of
+            # ``free``) — the full-N cast was ~50 ms/iter at 64^3
+            # (round-3 boundary profile); padding rows (== N) cast a
+            # dummy and are dropped on scatter-back
+            safe = jnp.minimum(rows, N - 1)
+            tp_c, tn_c = segment_triangle_hits_pallas(
+                out[safe], normals[safe], max_dist, bd["tri_packed"],
+                bd["n_tri"])
+            inf = jnp.asarray(jnp.inf, jnp.float32)
+            tp = jnp.full((N,), inf).at[rows].set(tp_c, mode="drop")
+            tn = jnp.full((N,), inf).at[rows].set(tn_c, mode="drop")
+        else:
+            tp, tn = segment_triangle_hits_pallas(
+                out, normals, max_dist, bd["tri_packed"], bd["n_tri"])
         hit_p = out + tp[:, None] * normals
         hit_n = out - tn[:, None] * normals
         take_p = tp <= tn
@@ -546,7 +580,14 @@ def project_boundary_points(points, proposal, normals, frozen, bd, td,
         return hit, has
 
     N = points.shape[0]
-    if chunk is None or chunk >= N:
+    rows = bd.get("surf_rows")
+    if rows is not None:
+        # Same static compaction as the Pallas branch (free ⊆ the
+        # classified candidate set, so non-candidates never read hit/has)
+        hit_c, has_c = cast(jnp.minimum(rows, N - 1))
+        hit = jnp.zeros((N, 3), out.dtype).at[rows].set(hit_c, mode="drop")
+        has = jnp.zeros((N,), bool).at[rows].set(has_c, mode="drop")
+    elif chunk is None or chunk >= N:
         hit, has = cast(jnp.arange(N))
     else:
         nc = -(-N // chunk)

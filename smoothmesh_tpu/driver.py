@@ -86,20 +86,28 @@ def iteration_body(points, smoothing_surface, normals_state, td,
 
     frozen = jnp.zeros(points.shape[0], dtype=bool)
 
-    is_sharp = jnp.zeros(points.shape[0], dtype=bool)
-    if layer is not None or bnd is not None:
-        # Recalculate (accumulate) boundary point normals each
-        # iteration (reference :2266)
-        normals_state, is_sharp = lay.accumulate_point_normals(
-            points, td, normals_state, sync=sync)
-
-    pts4 = vm3 = cc4 = None
+    pts4 = vm3 = cc4 = geom6 = None
     if engine is not None:
         from smoothmesh_tpu.ops.tiled import from_planar
 
         arr = engine_arrays
         pts4 = engine.pts4(points)
         geom6, vm3 = engine.face_geometry(arr, pts4[:3])
+
+    is_sharp = jnp.zeros(points.shape[0], dtype=bool)
+    if layer is not None or bnd is not None:
+        # Recalculate (accumulate) boundary point normals each
+        # iteration (reference :2266); the engine's stage F already
+        # produced the face area vectors — reuse them instead of a
+        # second full face-geometry pass
+        fa = None
+        if geom6 is not None:
+            fa = from_planar(geom6[3:6], engine.topo.n_faces).astype(
+                points.dtype)
+        normals_state, is_sharp = lay.accumulate_point_normals(
+            points, td, normals_state, sync=sync, face_areas=fa)
+
+    if engine is not None:
         cc4 = engine.cell_centres_vols(arr, geom6)
         cell_ctrs = from_planar(cc4[:3], engine.topo.n_cells)
         prop4 = engine.predictor(arr, pts4, cc4, max_step,
@@ -562,6 +570,25 @@ class Smoother:
             self.bnd["tri_packed"] = jnp.asarray(pack_triangles(
                 t(setup.surf_tri_a), t(setup.surf_tri_b),
                 t(setup.surf_tri_c)))
+        # Static compaction sets (boundary classification is fixed
+        # after setup): feature points with projection neighbours, and
+        # free smoothing-surface ray-cast candidates.  Padded with N
+        # (dropped on scatter-back).
+        N = self.topo.n_points
+        internal = self.topo.is_internal_point
+
+        def rows_of(mask):
+            r = np.where(mask)[0]
+            pad = (-len(r)) % 128 or 128
+            return jnp.asarray(np.concatenate(
+                [r, np.full(pad, N)]).astype(np.int32))
+
+        self.bnd["feat_rows"] = rows_of(
+            np.asarray(setup.feat_neigh_mask).any(axis=1))
+        self.bnd["surf_rows"] = rows_of(
+            np.asarray(setup.is_smoothing_surface) & ~internal
+            & ~np.asarray(setup.is_corner)
+            & ~np.asarray(setup.is_feature_edge))
         self.smoothing_surface = jnp.asarray(setup.is_smoothing_surface)
         self.do_boundary_smoothing = True
         self._step = jax.jit(self._build_step())

@@ -213,20 +213,28 @@ def boundary_point_normals_np(points: np.ndarray, topo: MeshTopology):
 # Per-iteration device kernels
 # ---------------------------------------------------------------------------
 
-def accumulate_point_normals(points, td, prev_normals, sync=None):
+def accumulate_point_normals(points, td, prev_normals, sync=None,
+                             face_areas=None):
     """Stateful normal update: add the inward unit normals of adjacent
     real-boundary faces to the previous (normalized) field, re-classify
     sharp points, renormalize (reference oBB.C:141-233 called per
     iteration at src/smoothMesh.C:2266 *without* resetting the field).
     Internal points keep their propagated normals untouched.
+
+    ``face_areas``: precomputed (F, 3) face area vectors (the tile
+    engine's stage F already produces them — passing them in skips a
+    duplicate full face-geometry pass).
     """
     from smoothmesh_tpu import geometry as geo
 
     dtype = points.dtype
-    fg = geo.face_centres_areas(points, td["face_points"],
-                                td["face_points_next"], td["face_mask"],
-                                td["face_npoints"])
-    unit = fg.areas / jnp.maximum(fg.mags, 1e-30)[:, None]
+    if face_areas is None:
+        fg = geo.face_centres_areas(points, td["face_points"],
+                                    td["face_points_next"],
+                                    td["face_mask"], td["face_npoints"])
+        face_areas = fg.areas
+    mags = jnp.linalg.norm(face_areas, axis=-1)
+    unit = face_areas / jnp.maximum(mags, 1e-30)[:, None]
     pf = td["point_faces"]
     sel = td["point_faces_mask"] & td["face_is_real_boundary"][pf]
     add = -jnp.sum(unit[pf] * sel[..., None].astype(dtype), axis=1)

@@ -358,6 +358,26 @@ class ShardedSmoother:
             self.bnd["tri_packed"] = put_rep(pack_triangles(
                 t(setup.surf_tri_a), t(setup.surf_tri_b),
                 t(setup.surf_tri_c)))
+        # Static compaction sets (see driver.enable_boundary_smoothing):
+        # per-shard candidate rows padded to a common width with Npad
+        # (dropped on scatter-back)
+        internal_sh = self.shards.stacked["is_internal_point"]
+        cand = (np.asarray(restrict_flags(setup.is_smoothing_surface))
+                & ~internal_sh
+                & ~np.asarray(restrict_flags(setup.is_corner))
+                & ~np.asarray(restrict_flags(setup.is_feature_edge)))
+        featp = feat_m.any(axis=2)
+
+        def rows_of(masks):
+            rs = [np.where(m)[0] for m in masks]
+            width = -(-max(max(map(len, rs)), 1) // 128) * 128 + 128
+            out = np.full((D, width), Npad, dtype=np.int32)
+            for d, r in enumerate(rs):
+                out[d, :len(r)] = r
+            return put(out)
+
+        self.bnd["surf_rows"] = rows_of(cand)
+        self.bnd["feat_rows"] = rows_of(featp)
         self.smoothing_surface = put(
             restrict_flags(setup.is_smoothing_surface))
         # normals state needs the propagated initial normals
