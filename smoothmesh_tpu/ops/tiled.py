@@ -9,9 +9,15 @@ engine restructures each gather as:
   1. HOST (static, per topology): consumers are processed in blocks of
      KB contiguous entities of the spatially-reordered mesh
      (mesh/tiling.permute_mesh).  Each block's source entities are
-     covered by [two aligned contiguous windows of the source array] +
-     [a small per-block list of scattered "ghost" entities].  Every
-     table entry gets a pool-local code = pool_row * 128 + lane.
+     covered by [W INDEPENDENTLY-PLACED aligned windows of the source
+     array — the top-W most-populated SPAN_UNIT-aligned buckets] +
+     [a small per-block list of scattered "ghost" entities].  W is
+     chosen per pool (2/4/8) to balance ghost-gather rows against MXU
+     select rows: a ghost row costs ~a full window of select work
+     (experiments/sim_windows.py; at 128^3 the 2-contiguous-window
+     design left ~34M ghost gather rows/iter, multi-window cuts it
+     ~3-4x).  Every table entry gets a pool-local code =
+     pool_row * 128 + lane.
   2. DEVICE, per iteration: ghosts are gathered once per (stage, field)
      with one plain XLA gather (ghost counts are a few % of the refs)
      and handed to the kernel as a blocked input; span windows stream
@@ -41,7 +47,18 @@ LANES = 128
 KB = 2048                    # consumers per block (uniform, all stages)
 SPAN_UNIT = KB               # entities per span window == one block
 SPAN_ROWS = SPAN_UNIT // LANES
-N_WINDOWS = 2
+N_WINDOWS = 2                # default window count / planar-width guarantee
+WINDOW_CANDIDATES = (2, 4, 8)
+# Cost of one extra window, in ghost-row equivalents, for the "auto"
+# window chooser.  MEASURED (2026-08-17, v5e): the MXU select cost
+# scales with n_pool_rows = W*SPAN_ROWS + gr, so an extra window costs
+# ~SPAN_ROWS select rows; auto-picking W=8 nearly everywhere regressed
+# the bench at BOTH 64^3 (65.2 -> 84.9 ms/iter) and 128^3 (585 -> 646
+# ms/iter) vs W=2 — the ghost-gather savings (0.6-0.7us/block-row) do
+# not pay for 6x16 extra select rows.  Hence the default is a flat
+# W=2; pass n_windows="auto" (or an int) only for pools measured to be
+# ghost-dominated.
+WINDOW_COST = 16.0
 
 
 def pad_n(n: int) -> int:
@@ -63,14 +80,18 @@ def planar_width(n: int) -> int:
 class PoolSpec:
     """Pool structure for one (consumer blocking, source array) pair."""
 
-    win: np.ndarray          # (nb,) int32 first span-window index
+    win: np.ndarray          # (nb, W) int32 span-window indices
     ghost_ids: np.ndarray    # (nb, n_ghost_rows*128) int32 source entity ids
     n_ghost_rows: int
     n_src: int
 
     @property
+    def n_windows(self) -> int:
+        return self.win.shape[1]
+
+    @property
     def n_pool_rows(self) -> int:
-        return N_WINDOWS * SPAN_ROWS + self.n_ghost_rows
+        return self.n_windows * SPAN_ROWS + self.n_ghost_rows
 
 
 @dataclasses.dataclass
@@ -86,15 +107,24 @@ def build_pool(n_consumers: int,
                tables: Sequence[Tuple[np.ndarray, Optional[np.ndarray]]],
                n_src: int,
                ghost_row_cap: int = 64,
-               min_ghost_rows: int = 1
+               min_ghost_rows: int = 1,
+               n_windows=None
                ) -> Tuple[PoolSpec, List[TableCodes]]:
     """Compute the shared pool + per-table codes for one source array.
 
     ``tables``: (table, mask) pairs indexing the same source array;
     they share the per-block pools (union of source sets).
-    ``min_ghost_rows`` forces a lower bound on the ghost-row count so
-    pools built for different shards of one mesh end up shape-identical
-    (required to stack engine arrays under shard_map).
+    ``min_ghost_rows`` forces a lower bound on the ghost-row count and
+    ``n_windows`` forces the window count, so pools built for different
+    shards of one mesh end up shape-identical (required to stack engine
+    arrays under shard_map).
+
+    Each block's W windows are placed INDEPENDENTLY at its top-W
+    most-populated SPAN_UNIT-aligned source buckets; remaining sources
+    become ghosts.  ``n_windows`` may be an int (forced), None
+    (default ``N_WINDOWS``), or "auto" (pick the WINDOW_CANDIDATES
+    member minimizing max ghost rows + WINDOW_COST * W — see the
+    WINDOW_COST calibration note above).
     """
     nb = -(-n_consumers // KB)
     Nc_pad = nb * KB
@@ -109,29 +139,55 @@ def build_pool(n_consumers: int,
             m = np.pad(m, ((0, Nc_pad - Nc), (0, 0)))
         padded.append((tab, m & (tab >= 0)))
 
-    win = np.zeros(nb, dtype=np.int64)
-    ghost_lists: List[np.ndarray] = []
-    g_max = 0
-    max_win = max((n_src - 1) // SPAN_UNIT - (N_WINDOWS - 1), 0)
+    # per-block unique sources + SPAN_UNIT bucket histograms
+    blocks = []
     for b in range(nb):
         sl = slice(b * KB, (b + 1) * KB)
         srcs = np.concatenate([t[sl][m[sl]] for t, m in padded]) \
             if padded else np.zeros(0, np.int64)
+        srcs = np.unique(srcs)
+        buckets, counts = np.unique(srcs // SPAN_UNIT, return_counts=True)
+        blocks.append((srcs, buckets, counts))
+
+    def max_ghosts(W: int) -> int:
+        g = 0
+        for srcs, buckets, counts in blocks:
+            if len(counts) <= W:
+                continue
+            cov = int(counts[np.argpartition(counts, -W)[-W:]].sum())
+            g = max(g, len(srcs) - cov)
+        return g
+
+    if n_windows is None:
+        n_windows = N_WINDOWS
+    elif n_windows == "auto":
+        best_cost = None
+        for Wc in WINDOW_CANDIDATES:
+            gr = -(-max_ghosts(Wc) // LANES)
+            cost = gr + WINDOW_COST * Wc
+            if best_cost is None or cost < best_cost:
+                best_cost, n_windows = cost, Wc
+    W_win = int(n_windows)
+
+    win = np.zeros((nb, W_win), dtype=np.int64)
+    sel_lists: List[np.ndarray] = []
+    ghost_lists: List[np.ndarray] = []
+    g_max = 0
+    for b, (srcs, buckets, counts) in enumerate(blocks):
         if not len(srcs):
+            sel_lists.append(np.zeros(0, np.int64))
             ghost_lists.append(np.zeros(0, np.int64))
             continue
-        w = min(max(int(np.median(srcs)) // SPAN_UNIT, 0), max_win)
-        best, best_cov = w, -1
-        for cand in (w - 1, w):
-            if cand < 0 or cand > max_win:
-                continue
-            lo, hi = cand * SPAN_UNIT, (cand + N_WINDOWS) * SPAN_UNIT
-            cov = int(np.count_nonzero((srcs >= lo) & (srcs < hi)))
-            if cov > best_cov:
-                best, best_cov = cand, cov
-        win[b] = best
-        lo, hi = best * SPAN_UNIT, (best + N_WINDOWS) * SPAN_UNIT
-        ghosts = np.unique(srcs[(srcs < lo) | (srcs >= hi)])
+        if len(buckets) > W_win:
+            sel = np.sort(buckets[np.argpartition(counts, -W_win)[-W_win:]])
+        else:
+            sel = buckets
+        sel_lists.append(sel)
+        win[b, :len(sel)] = sel
+        win[b, len(sel):] = sel[-1]
+        pos = np.searchsorted(sel, srcs // SPAN_UNIT)
+        in_win = sel[np.clip(pos, 0, len(sel) - 1)] == srcs // SPAN_UNIT
+        ghosts = srcs[~in_win]
         ghost_lists.append(ghosts)
         g_max = max(g_max, len(ghosts))
 
@@ -152,20 +208,27 @@ def build_pool(n_consumers: int,
                     ghost_ids=ghost_ids.astype(np.int32),
                     n_ghost_rows=n_ghost_rows, n_src=n_src)
 
-    ghost_base = N_WINDOWS * SPAN_UNIT
+    ghost_base = W_win * SPAN_UNIT
     all_codes = []
     for tab, m in padded:
         W = tab.shape[1]
         codes = np.zeros((Nc_pad, W), dtype=np.int64)
         for b in range(nb):
             sl = slice(b * KB, (b + 1) * KB)
-            lo = win[b] * SPAN_UNIT
             t = tab[sl]
-            in_span = (t >= lo) & (t < lo + N_WINDOWS * SPAN_UNIT)
+            sel = sel_lists[b]
+            bkt = t // SPAN_UNIT
+            if len(sel):
+                pos = np.clip(np.searchsorted(sel, bkt), 0, len(sel) - 1)
+                in_span = sel[pos] == bkt
+            else:
+                pos = np.zeros_like(t)
+                in_span = np.zeros(t.shape, bool)
             gl = ghost_lists[b]
             gslot = np.searchsorted(gl, t) if len(gl) else np.zeros_like(t)
             gslot = np.clip(gslot, 0, max(len(gl) - 1, 0))
-            c = np.where(in_span, t - lo, ghost_base + gslot)
+            c = np.where(in_span, pos * SPAN_UNIT + t - bkt * SPAN_UNIT,
+                         ghost_base + gslot)
             codes[sl] = np.where(m[sl], c, 0)
             bad = ~in_span & m[sl]
             if np.any(bad) and not np.array_equal(gl[gslot[bad]], t[bad]):
@@ -299,13 +362,15 @@ def stage_call(kernel_body, nb: int,
     from jax.experimental.pallas import tpu as pltpu
 
     n_f = len(fields)
+    field_nw = [f.pool.n_windows for f in fields]
+    win_base = np.concatenate([[0], np.cumsum(field_nw)]).astype(int)
 
     def kernel(win_ref, *refs):
         code_refs = refs[:len(code_widths)]
         off = len(code_widths)
-        win_refs = [refs[off + i * N_WINDOWS: off + (i + 1) * N_WINDOWS]
+        win_refs = [refs[off + win_base[i]: off + win_base[i + 1]]
                     for i in range(n_f)]
-        off += n_f * N_WINDOWS
+        off += int(win_base[-1])
         ghost_refs = refs[off: off + n_f]
         off += n_f
         extra_refs = refs[off: off + len(extra_in_specs)]
@@ -329,10 +394,10 @@ def stage_call(kernel_body, nb: int,
         in_specs.append(pl.BlockSpec(
             (wi, KB), lambda b, win: (0, b), memory_space=pltpu.VMEM))
     for i, f in enumerate(fields):
-        for w in range(N_WINDOWS):
+        for w in range(field_nw[i]):
             in_specs.append(pl.BlockSpec(
                 (f.ncomp, SPAN_UNIT),
-                lambda b, win, i=i, w=w: (0, win[i, b] + w),
+                lambda b, win, r=int(win_base[i]) + w: (0, win[r, b]),
                 memory_space=pltpu.VMEM))
     for i, f in enumerate(fields):
         in_specs.append(pl.BlockSpec(
@@ -359,7 +424,7 @@ def stage_call(kernel_body, nb: int,
         args = list(codes_list)
         for f in fields:
             planar, _ = field_arrays[f.name]
-            args.extend([planar] * N_WINDOWS)
+            args.extend([planar] * f.pool.n_windows)
         for f in fields:
             _, ghosts = field_arrays[f.name]
             args.append(ghosts)
@@ -375,8 +440,10 @@ def stage_call(kernel_body, nb: int,
 
 
 def win_stack_for(fields: Sequence[FieldSpec]) -> np.ndarray:
-    """(n_fields, nb) prefetch array of first-window indices."""
-    return np.stack([f.pool.win for f in fields]).astype(np.int32)
+    """(sum n_windows, nb) prefetch array of window indices, rows
+    ordered field-major then window."""
+    return np.concatenate(
+        [f.pool.win.T for f in fields], axis=0).astype(np.int32)
 
 
 # ---------------------------------------------------------------------------

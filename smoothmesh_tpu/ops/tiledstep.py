@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -118,15 +119,25 @@ class TiledEngine:
     """
 
     def __init__(self, topo, interpret: bool = False,
-                 ghost_rows: Optional[dict] = None):
+                 ghost_rows: Optional[dict] = None,
+                 windows: Optional[dict] = None):
         self.topo = topo
         self.interpret = interpret
-        # Forced per-pool ghost-row minima: shards of one mesh must
-        # build shape-identical engine arrays to stack under shard_map
-        # (parallel/halo.py builds engines twice: probe, then forced to
-        # the per-pool max over shards).
+        # Forced per-pool ghost-row minima and window counts: shards of
+        # one mesh must build shape-identical engine arrays to stack
+        # under shard_map (parallel/halo.py builds engines twice:
+        # probe, then forced to the per-pool max over shards).
         self._gr = ghost_rows or {}
+        self._nw = dict(windows or {})
+        # experiment hook: SMOOTHMESH_POOL_WINDOWS="c=4,r=4" forces
+        # per-pool window counts (value "auto" = cost-model choice)
+        env_nw = os.environ.get("SMOOTHMESH_POOL_WINDOWS", "")
+        for kv in filter(None, env_nw.split(",")):
+            k, _, v = kv.partition("=")
+            self._nw.setdefault(k.strip(),
+                                v if v == "auto" else int(v))
         gr = self._gr.get
+        nw = self._nw.get
         # All device arrays live here and are passed through jit as
         # ARGUMENTS (closure constants embed as HLO literals and
         # overflow the remote compiler at 1M+ cells — CLAUDE.md).
@@ -137,7 +148,7 @@ class TiledEngine:
         # ---- stage F: faces <- points --------------------------------
         self.f_pool, (self.f_codes,) = tiled.build_pool(
             t.n_faces, [(t.face_points, t.face_mask)], t.n_points,
-            min_ghost_rows=gr("f", 1))
+            min_ghost_rows=gr("f", 1), n_windows=nw("f"))
         A["f_mask"] = jnp.asarray(_planar_extra(t.face_mask))
         self.f_field = FieldSpec("pts", self.f_pool, 3)
         self._stage_f = stage_call(
@@ -152,7 +163,7 @@ class TiledEngine:
         # ---- stage C: cells <- face geometry -------------------------
         self.c_pool, (self.c_codes,) = tiled.build_pool(
             t.n_cells, [(t.cell_faces, t.cell_faces_mask)], t.n_faces,
-            min_ghost_rows=gr("c", 1))
+            min_ghost_rows=gr("c", 1), n_windows=nw("c"))
         cell_ids = np.arange(t.n_cells, dtype=np.int64)[:, None]
         sign = np.where(t.owner[t.cell_faces] == cell_ids, 1.0, -1.0)
         sign = np.where(t.cell_faces_mask, sign, 0.0)
@@ -170,10 +181,11 @@ class TiledEngine:
         # ---- stage P: points <- cell centres + neighbour points ------
         self.p_cc_pool, (self.p_cc_codes,) = tiled.build_pool(
             t.n_points, [(t.point_cells, t.point_cells_mask)], t.n_cells,
-            min_ghost_rows=gr("p_cc", 1))
+            min_ghost_rows=gr("p_cc", 1), n_windows=nw("p_cc"))
         self.p_pp_pool, (self.p_pp_codes,) = tiled.build_pool(
             t.n_points, [(t.point_points, t.point_points_mask)],
-            t.n_points, min_ghost_rows=gr("p_pp", 1))
+            t.n_points, min_ghost_rows=gr("p_pp", 1),
+            n_windows=nw("p_pp"))
         A["p_pc_mask"] = jnp.asarray(_planar_extra(t.point_cells_mask))
         A["p_pp_mask"] = jnp.asarray(_planar_extra(t.point_points_mask))
         A["p_share"] = jnp.asarray(_planar_extra_i32(
@@ -208,6 +220,8 @@ class TiledEngine:
         # row and prop4's cur-min row are never read)
         self.s_cur_field = FieldSpec("cur4", self.p_pp_pool, 3)
         self.s_prop_field = FieldSpec("prop4", self.p_pp_pool, 3)
+        A["s_win"] = jnp.asarray(win_stack_for(
+            [self.s_cur_field, self.s_prop_field]))
         self._init_stage_s()
         self._init_stage_e()
 
@@ -523,13 +537,16 @@ class TiledEngine:
         A = self.arrays
         self.e_pts_pool, (self.e_ep_codes,) = tiled.build_pool(
             t.n_edges, [(t.edges, None)], t.n_points,
-            min_ghost_rows=self._gr.get("e_pts", 1))
+            min_ghost_rows=self._gr.get("e_pts", 1),
+            n_windows=self._nw.get("e_pts"))
         self.e_vm_pool, (self.e_ef_codes,) = tiled.build_pool(
             t.n_edges, [(t.edge_faces, t.edge_faces_mask)], t.n_faces,
-            min_ghost_rows=self._gr.get("e_vm", 1))
+            min_ghost_rows=self._gr.get("e_vm", 1),
+            n_windows=self._nw.get("e_vm"))
         self.e_cc_pool, (self.e_ec_codes,) = tiled.build_pool(
             t.n_edges, [(t.edge_cells, t.edge_cells_mask)], t.n_cells,
-            min_ghost_rows=self._gr.get("e_cc", 1))
+            min_ghost_rows=self._gr.get("e_cc", 1),
+            n_windows=self._nw.get("e_cc"))
         A["e_ec_mask"] = jnp.asarray(_planar_extra(t.edge_cells_mask))
         A["e_f0"] = jnp.asarray(_planar_extra_i32(t.edge_cell_f0))
         A["e_f1"] = jnp.asarray(_planar_extra_i32(t.edge_cell_f1))
@@ -561,7 +578,8 @@ class TiledEngine:
         # stage R: per-point u-space min/max over point_edges
         self.r_pool, (self.r_codes,) = tiled.build_pool(
             t.n_points, [(t.point_edges, t.point_edges_mask)], t.n_edges,
-            min_ghost_rows=self._gr.get("r", 1))
+            min_ghost_rows=self._gr.get("r", 1),
+            n_windows=self._nw.get("r"))
         A["r_pe_mask"] = jnp.asarray(_planar_extra(t.point_edges_mask))
         self.r_field = FieldSpec("ue", self.r_pool, 2)
         self._stage_r = stage_call(
@@ -789,9 +807,7 @@ class TiledEngine:
         gh_cur = (gh_pp[:3] if gh_pp is not None
                   else ghosts_planar(cur3, arr["p_pp_gids"]))
         gh_prop = ghosts_planar(prop3, arr["p_pp_gids"])
-        win = jnp.concatenate([arr["p_win"][1:2], arr["p_win"][1:2]],
-                              axis=0)
-        return fn(win, [arr["p_pp_codes"]],
+        return fn(arr["s_win"], [arr["p_pp_codes"]],
                   {"cur4": (cur3, gh_cur),
                    "prop4": (prop3, gh_prop)},
                   arr["p_pp_mask"], arr["s_pf_mask"],

@@ -47,7 +47,7 @@ forced to the per-pool maximum (TiledEngine ``ghost_rows``).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -480,14 +480,14 @@ _POOL_ATTRS = {
 }
 
 
-def probe_ghost_rows(t: MeshTopology) -> Dict[str, int]:
-    """Natural ghost-row counts of every engine pool for one topology
-    (cheap pre-pass so shards can force the common maximum)."""
+def probe_ghost_rows(t: MeshTopology) -> Dict[str, Tuple[int, int]]:
+    """Natural (ghost_rows, n_windows) of every engine pool for one
+    topology (cheap pre-pass so shards can force a common shape)."""
     from smoothmesh_tpu.ops import tiled
 
     def g(n_cons, tables, n_src):
         pool, _ = tiled.build_pool(n_cons, tables, n_src)
-        return pool.n_ghost_rows
+        return pool.n_ghost_rows, pool.n_windows
 
     return {
         "f": g(t.n_faces, [(t.face_points, t.face_mask)], t.n_points),
@@ -517,8 +517,10 @@ def build_stacked_engines(topos, interpret: bool):
     from smoothmesh_tpu.ops.tiledstep import TiledEngine
 
     probes = [probe_ghost_rows(t) for t in topos]
-    gr = {k: max(p[k] for p in probes) for k in probes[0]}
-    engines = [TiledEngine(t, interpret=interpret, ghost_rows=gr)
+    gr = {k: max(p[k][0] for p in probes) for k in probes[0]}
+    nw = {k: max(p[k][1] for p in probes) for k in probes[0]}
+    engines = [TiledEngine(t, interpret=interpret, ghost_rows=gr,
+                           windows=nw)
                for t in topos]
     e0 = engines[0]
     for e in engines[1:]:

@@ -23,15 +23,17 @@ def test_pool_codes_decode(topo):
         topo.n_points, [(topo.point_cells, topo.point_cells_mask)],
         topo.n_cells)
     kb = tiled.KB
-    span = tiled.N_WINDOWS * tiled.SPAN_UNIT
+    span = pool.n_windows * tiled.SPAN_UNIT
     nb = codes.codes.shape[1] // kb
     W = codes.width
     for b in range(nb):
-        lo = pool.win[b] * tiled.SPAN_UNIT
         for w in range(W):
             code = codes.codes[w, b * kb:(b + 1) * kb]
             n_real = min((b + 1) * kb, topo.n_points) - b * kb
-            src = np.where(code < span, lo + code,
+            win_src = (pool.win[b, np.clip(code // tiled.SPAN_UNIT, 0,
+                                           pool.n_windows - 1)]
+                       * tiled.SPAN_UNIT + code % tiled.SPAN_UNIT)
+            src = np.where(code < span, win_src,
                            pool.ghost_ids[b, np.clip(code - span, 0,
                                                      None)])
             sl = slice(b * kb, b * kb + n_real)
