@@ -70,11 +70,22 @@ def compare(case):
     for leg in ("f64", "f32"):
         path = f"/tmp/longrun_{case}_{leg}.json"
         env = dict(os.environ)
-        subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "leg", case, leg,
-             path],
-            check=True, env=env,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        # The axon TPU tunnel occasionally drops with a transient
+        # "TPU backend error (Internal)" mid-run; retry the whole leg.
+        for attempt in range(3):
+            try:
+                subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "leg", case,
+                     leg, path],
+                    check=True, env=env,
+                    cwd=os.path.dirname(
+                        os.path.dirname(os.path.abspath(__file__))))
+                break
+            except subprocess.CalledProcessError:
+                if attempt == 2:
+                    raise
+                print(f"leg {case}/{leg} failed (attempt {attempt + 1}); "
+                      "retrying", flush=True)
         with open(path) as f:
             legs[leg] = json.load(f)
         legs[leg]["pts"] = np.load(path + ".npy")

@@ -29,6 +29,7 @@ from smoothmesh_tpu.params import SmoothingParams  # noqa: E402
 N = int(os.environ.get("N", "64"))
 LOGDIR = os.environ.get("LOGDIR", "/tmp/smprof")
 BOUNDARY = os.environ.get("BOUNDARY") == "1"   # bench boundary mode
+STRESS = os.environ.get("STRESS") == "1"       # bench stress mode
 
 patches = ({"top": ["zmax"],
             "rest": ["xmin", "xmax", "ymin", "ymax", "zmin"]}
@@ -36,7 +37,8 @@ patches = ({"top": ["zmax"],
 base = hex_block(n=(N, N, N), grading=(2.0, 1.0, 0.5), patches=patches)
 min_spacing = min(np.diff(np.unique(base.points[:, a])).min()
                   for a in range(3))
-mesh = perturb(base, amplitude=0.25 * min_spacing, seed=3)
+mesh = perturb(base,
+               amplitude=(0.6 if STRESS else 0.25) * min_spacing, seed=3)
 if BOUNDARY:
     import bench
 
@@ -44,6 +46,9 @@ if BOUNDARY:
                              smoothing_patches=("top",),
                              layer_patches=("top",),
                              min_angle=15.0, ray_miss_fatal=False)
+elif STRESS:
+    params = SmoothingParams(centroidal_iters=1, rel_tol=0.0,
+                             min_angle=15.0)
 else:
     params = SmoothingParams(centroidal_iters=1, rel_tol=0.0)
 sm = Smoother(mesh, params, dtype=np.float32)

@@ -433,8 +433,24 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                   + (td["edge_cell_f1"] << _sb)
                   + (td["edge_cells_mask"].astype(jnp.int32) << (2 * _sb)))
 
+    # ---- det-bitmask buffers ------------------------------------------
+    # The deterioration test on a point's NEW min/max over its edges
+    # decomposes per edge:  min_e mn_e < thr  <=>  exists e: mn_e < thr
+    # (and symmetrically for the max), with
+    #   thr_mn(p) = min(min_angle_rad, cur_min_p[p] - det_eps)
+    #   thr_mx(p) = max(max_angle_rad, cur_max_p[p] + det_eps).
+    # So instead of carrying T=2*(WP+1) float (2E,) min/max buffers and
+    # re-aggregating point minima from them (52 scatter rows + 156
+    # gather rows per chunk — measured to dominate stress-mode
+    # iterations), each (edge, side) evaluation stores one PACKED det
+    # bit per substitution slot; the agg phases OR the bitmasks over a
+    # point's edges (WE gathers per chunk) and unpack.  Bit-exact with
+    # the float-buffer form: the per-edge comparisons are the same
+    # comparisons, and "min over edges < thr" is "any edge < thr".
+    def _n_words(T):
+        return -(-T // 32)
+
     def eval_edges_chunk(frozen_cur, eidx, rowv, bufs, t_slots):
-        minbufs, maxbufs = bufs                          # tuples of (2E,)
         ep = [edges_arr[:, s][eidx] for s in (0, 1)]     # 2 x (K,)
         cur_ep = [[points_T[c, ep[s]] for c in range(3)] for s in (0, 1)]
         frz = [frozen_cur[ep[s]] for s in (0, 1)]
@@ -460,13 +476,18 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
         def dot3(a, b):
             return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 
-        out_mn = list(minbufs)
-        out_mx = list(maxbufs)
+        out = list(bufs)
+        nw = _n_words(len(t_slots))
         for s in (0, 1):
             p_eff = eff_ep[s]
             cur_p = cur_ep[s]
             other = 1 - s
             dp = [p_eff[c] - cur_p[c] for c in range(3)]
+            thr_mn = jnp.minimum(min_angle_rad,
+                                 cur_min_p[ep[s]] - det_eps)
+            thr_mx = jnp.maximum(max_angle_rad,
+                                 cur_max_p[ep[s]] + det_eps)
+            words = [jnp.zeros(eidx.shape, jnp.int32) for _ in range(nw)]
             for ti, t in enumerate(t_slots):
                 if t < WP:
                     q_id = q_all[s][t]
@@ -532,35 +553,32 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                     mx_t = jnp.where(c_mask[u], jnp.maximum(mx_t, ang),
                                      mx_t)
 
-                # buffers are per-t arrays over (2E,): write side-s rows
-                tgt = jnp.where(rowv, s * E + eidx, 2 * E)
-                out_mn[ti] = out_mn[ti].at[tgt].set(mn_t, mode="drop")
-                out_mx[ti] = out_mx[ti].at[tgt].set(mx_t, mode="drop")
-        return tuple(out_mn), tuple(out_mx)
+                bit = ((mn_t < thr_mn) | (mx_t > thr_mx)).astype(
+                    jnp.int32)
+                words[ti // 32] = words[ti // 32] | (bit << (ti % 32))
+            # packed det words over (2E,): one write per side per word
+            tgt = jnp.where(rowv, s * E + eidx, 2 * E)
+            for w in range(nw):
+                out[w] = out[w].at[tgt].set(words[w], mode="drop")
+        return tuple(out)
 
-    def _point_minmax_from_bufs(idx, minbufs, maxbufs):
+    def _point_det_from_bufs(idx, bufs, T):
+        """(Kp, T) det bools: OR of the packed edge det words over each
+        point's edge set, unpacked."""
         pe = td["point_edges"][idx]                      # (Kp, WE)
         pside = td["point_edges_side"][idx]
         pmask = td["point_edges_mask"][idx]
         flat = pside * E + pe                            # (Kp, WE)
         WE = pe.shape[1]
-        T = len(minbufs)
-        det = []
-        for t in range(T):
-            mn_t = jnp.full(idx.shape, big_ang, dtype=dtype)
-            mx_t = jnp.zeros(idx.shape, dtype=dtype)
+        acc = []
+        for wd in range(_n_words(T)):
+            a = jnp.zeros(idx.shape, jnp.int32)
             for w in range(WE):
-                v_mn = minbufs[t][flat[:, w]]
-                v_mx = maxbufs[t][flat[:, w]]
-                ok = pmask[:, w]
-                mn_t = jnp.where(ok, jnp.minimum(mn_t, v_mn), mn_t)
-                mx_t = jnp.where(ok, jnp.maximum(mx_t, v_mx), mx_t)
-            det.append(
-                ((mn_t < min_angle_rad)
-                 & (mn_t < cur_min_p[idx] - det_eps))
-                | ((mx_t > max_angle_rad)
-                   & (mx_t > cur_max_p[idx] + det_eps))
-            )
+                v = bufs[wd][flat[:, w]]
+                a = a | jnp.where(pmask[:, w], v, 0)
+            acc.append(a)
+        det = [((acc[t // 32] >> (t % 32)) & 1).astype(bool)
+               for t in range(T)]
         return jnp.stack(det, axis=1)                    # (Kp, T)
 
     # Phase 1 — self tests run to completion FIRST: the reference's
@@ -568,31 +586,30 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     # self-frozen point's pair evaluations always see it at its current
     # coordinates (src/smoothMesh.C:1379-1400 before :1402-1433).
     def self_agg_chunk(idx, rowv, state):
-        frozen_cur, minbuf, maxbuf = state
-        det = _point_minmax_from_bufs(idx, minbuf, maxbuf)[:, 0]
+        frozen_cur, bufs = state
+        det = _point_det_from_bufs(idx, bufs, 1)[:, 0]
         self_det = det & rowv & moving[idx] & ~frozen_cur[idx]
         new_frozen = frozen_cur.at[
             jnp.where(self_det, idx, N)].set(True, mode="drop")
-        return new_frozen, minbuf, maxbuf
+        return new_frozen, bufs
 
     # Phase 2 — pair sweeps to a fixed point
     def pair_agg_chunk(idx, rowv, state):
-        frozen_cur, changed, minbuf, maxbuf = state
-        det = _point_minmax_from_bufs(idx, minbuf, maxbuf)
+        frozen_cur, changed, bufs = state
+        det = _point_det_from_bufs(idx, bufs, WP)
         det &= rowv[:, None]
         b_pp = pp[idx]
         q_moving = moving[b_pp] & ~frozen_cur[b_pp]
-        bad = det[:, :WP] & pp_mask[idx] & q_moving
+        bad = det & pp_mask[idx] & q_moving
         new_frozen = frozen_cur.at[
             jnp.where(bad, b_pp, N).reshape(-1)].set(True, mode="drop")
         changed = changed | jnp.any(bad)
-        return new_frozen, changed, minbuf, maxbuf
+        return new_frozen, changed, bufs
 
     def _new_bufs(T):
-        mn = tuple(jnp.full((2 * E,), big_ang, dtype=dtype)
-                   for _ in range(T))
-        mx = tuple(jnp.zeros((2 * E,), dtype=dtype) for _ in range(T))
-        return mn, mx
+        # un-evaluated (inactive) edge rows keep det bits 0 = no freeze
+        return tuple(jnp.zeros((2 * E,), jnp.int32)
+                     for _ in range(_n_words(T)))
 
     def run_all(frozen):
         # ---- edge-centric substituted evaluation ----
@@ -620,8 +637,8 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                 lambda ei, rv, b: eval_edges_chunk(frozen, ei, rv, b,
                                                    (WP,)),
                 _new_bufs(1), ae_idx, n_active_e, Ke)
-            frozen, _, _ = chunked(
-                self_agg_chunk, (frozen,) + bufs, act_idx, n_active, Kp)
+            frozen, _ = chunked(
+                self_agg_chunk, (frozen, bufs), act_idx, n_active, Kp)
             return frozen
 
         # Pair sweeps to a fixed point with DIRTY-SET re-evaluation: an
@@ -635,43 +652,42 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
         # fixed point as re-evaluating everything — sweeps after the
         # first cost O(dirty).
         def sweep_body(state):
-            frozen_cur, newly, minbufs, maxbufs = state
+            frozen_cur, newly, bufs = state
             dirty_e = (newly[edges_arr[:, 0]] | newly[edges_arr[:, 1]]) \
                 & active_e
             de_idx = jnp.nonzero(dirty_e, size=E, fill_value=0)[0]
             n_de = jnp.sum(dirty_e)
-            minbufs, maxbufs = chunked(
+            bufs = chunked(
                 lambda ei, rv, b: eval_edges_chunk(frozen_cur, ei, rv, b,
                                                    tuple(range(WP))),
-                (minbufs, maxbufs), de_idx, n_de, Ke)
+                bufs, de_idx, n_de, Ke)
             dirty_p = jnp.zeros(N, dtype=bool)
             dirty_p = dirty_p.at[edges_arr[:, 0]].max(dirty_e)
             dirty_p = dirty_p.at[edges_arr[:, 1]].max(dirty_e)
             dirty_p = dirty_p & active
             dp_idx = jnp.nonzero(dirty_p, size=N, fill_value=0)[0]
             n_dp = jnp.sum(dirty_p)
-            frozen_new, _, _, _ = chunked(
-                pair_agg_chunk, (frozen_cur, jnp.asarray(False),
-                                 minbufs, maxbufs), dp_idx, n_dp, Kp)
-            return (frozen_new, frozen_new & ~frozen_cur, minbufs,
-                    maxbufs)
+            frozen_new, _, bufs = chunked(
+                pair_agg_chunk, (frozen_cur, jnp.asarray(False), bufs),
+                dp_idx, n_dp, Kp)
+            return (frozen_new, frozen_new & ~frozen_cur, bufs)
 
         def sweep_cond(state):
-            _, newly, _, _ = state
+            _, newly, _ = state
             return jnp.any(newly)
 
         frozen = self_phase(frozen)
         # first full pair pass over all active edges
-        minbufs, maxbufs = chunked(
+        bufs = chunked(
             lambda ei, rv, b: eval_edges_chunk(frozen, ei, rv, b,
                                                tuple(range(WP))),
             _new_bufs(WP), ae_idx, n_active_e, Ke)
-        frozen_new, _, _, _ = chunked(
-            pair_agg_chunk, (frozen, jnp.asarray(False),
-                             minbufs, maxbufs), act_idx, n_active, Kp)
-        frozen, _, _, _ = jax.lax.while_loop(
+        frozen_new, _, bufs = chunked(
+            pair_agg_chunk, (frozen, jnp.asarray(False), bufs),
+            act_idx, n_active, Kp)
+        frozen, _, _ = jax.lax.while_loop(
             sweep_cond, sweep_body,
-            (frozen_new, frozen_new & ~frozen, minbufs, maxbufs))
+            (frozen_new, frozen_new & ~frozen, bufs))
         return frozen
 
     return jax.lax.cond(any_active, run_all, lambda f: f, frozen)
