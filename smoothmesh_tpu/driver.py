@@ -320,9 +320,12 @@ def default_face_angle_chunk(topo) -> Optional[int]:
     # conservatively (measured: ~18 GB for 36k points unchunked => the
     # true footprint is ~0.5 MB/point on this hex topology).
     per_point = max(wp * we * wf * wfp * 3, 1)
-    budget = 1 << 27  # 128M nominal floats per active batch: the
-    # edge-centric evaluation works on dense (K,) vectors, so larger
-    # chunks mainly amortize while-loop iteration overhead
+    budget = 1 << 29  # 512M nominal floats per active batch.  The
+    # edge-centric evaluation works on dense (K,) component vectors
+    # (~a few hundred live (K,) arrays, tens of MB at K=65536), so
+    # larger chunks mainly amortize the serial while-loop steps:
+    # stress-mode profiling (2026-08-17) showed each eval pass at
+    # K=16384 spending ~87 ms over ~50 sequential chunk steps.
     if topo.n_points * per_point <= budget:
         return None
     chunk = max(budget // per_point, 16384)
