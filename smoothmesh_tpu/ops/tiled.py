@@ -233,8 +233,13 @@ def build_pool(n_consumers: int,
             bad = ~in_span & m[sl]
             if np.any(bad) and not np.array_equal(gl[gslot[bad]], t[bad]):
                 raise AssertionError("ghost slot resolution failed")
+        # int16 halves the largest per-block kernel DMA (wide tables
+        # stream (W, KB) code blocks every stage call) and the code
+        # HBM footprint (~3.6 GB at 10M cells).  Codes are bounded by
+        # n_pool_rows*128 <= (8*16 + ghost_row_cap)*128 = 24576 < 2^15.
+        assert codes.max() < 2 ** 15
         all_codes.append(TableCodes(
-            codes=np.ascontiguousarray(codes.T).astype(np.int32), width=W))
+            codes=np.ascontiguousarray(codes.T).astype(np.int16), width=W))
     return pool, all_codes
 
 
@@ -313,6 +318,7 @@ def select(poolT_terms: List[jnp.ndarray], code: jnp.ndarray,
     (1, KB) f32.
     """
     PR = poolT_terms[0].shape[1]
+    code = code.astype(jnp.int32)    # codes are stored/streamed int16
     rows = code // LANES
     lanes = code % LANES
     oh = (jax.lax.broadcasted_iota(jnp.int32, (PR, KB), 0)
