@@ -17,14 +17,25 @@ import numpy as np
 from smoothmesh_tpu.mesh.topology import MeshTopology
 
 
-def to_device(topo: MeshTopology) -> Dict[str, jnp.ndarray]:
-    """Stage all topology arrays (int32 indices, bool masks) on device."""
-    real_patch = np.array(
-        [t not in ("processor", "empty") for t in topo.patch_types], dtype=bool
-    )
-    face_is_real_boundary = np.zeros(topo.n_faces, dtype=bool)
-    bnd = topo.face_patch >= 0
-    face_is_real_boundary[bnd] = real_patch[topo.face_patch[bnd]]
+def to_device(topo: MeshTopology, keys=None) -> Dict[str, jnp.ndarray]:
+    """Stage topology arrays (int32 indices, bool masks) on device.
+
+    ``keys``: optional iterable restricting which arrays are staged.
+    The default tile-engine iteration (driver.iteration_body_planar)
+    reads only the face-angle fixed point's tables
+    (driver.PLANAR_TD_KEYS) — staging just those halves the device
+    topology footprint and the host->device upload, which at the
+    BASELINE 10M-cell scale is gigabytes over a ~45 MB/s tunnel.
+    """
+    if keys is None or "face_is_real_boundary" in keys:
+        real_patch = np.array(
+            [t not in ("processor", "empty") for t in topo.patch_types],
+            dtype=bool)
+        face_is_real_boundary = np.zeros(topo.n_faces, dtype=bool)
+        bnd = topo.face_patch >= 0
+        face_is_real_boundary[bnd] = real_patch[topo.face_patch[bnd]]
+    else:
+        face_is_real_boundary = None
 
     host = {
         "face_points": topo.face_points,
@@ -71,4 +82,6 @@ def to_device(topo: MeshTopology) -> Dict[str, jnp.ndarray]:
         if getattr(topo, "cell_valid_rows", None) is not None
         else np.ones(topo.n_cells, dtype=bool),
     }
+    if keys is not None:
+        host = {k: v for k, v in host.items() if k in keys}
     return {k: jnp.asarray(v) for k, v in host.items()}

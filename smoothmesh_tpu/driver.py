@@ -56,6 +56,23 @@ class StepResult:
     n_ray_miss: int = 0
 
 
+# Exactly the td keys read by iteration_body_planar (the default
+# tile-engine path): the face-angle fixed point's edge/face tables plus
+# the point_points adjacency its active-set compaction gathers.
+# tests/test_trimmed_td.py re-derives this set with a recording dict
+# and asserts equality, so it cannot silently drift.
+PLANAR_TD_KEYS = frozenset({
+    "edge_cell_f0", "edge_cell_f1", "edge_cells", "edge_cells_mask",
+    "edge_faces", "edge_valid", "edges", "face_mask", "face_npoints",
+    "face_points", "point_edges", "point_edges_mask",
+    "point_edges_side", "point_points", "point_points_mask",
+})
+
+
+def _planar_batch_enabled() -> bool:
+    return os.environ.get("SMOOTHMESH_PLANAR_BATCH", "1") == "1"
+
+
 RAY_MISS_MSG = (
     "Did not find surface intersection for {n} smoothing-surface "
     "point(s) within the maximum search distance — the targetSurfaces "
@@ -398,7 +415,6 @@ class Smoother:
         self.use_tile_engine = bool(use_tile_engine)
 
         self.topo = topo if topo is not None else compile_topology(mesh_int)
-        self.td = to_device(self.topo)
         self.stats = quality.mesh_stats(mesh_int.points, self.topo.edges)
         self.params = params.resolve(self.stats.min_edge_length)
 
@@ -441,6 +457,21 @@ class Smoother:
         self.smoothing_surface = jnp.zeros(self.topo.n_points, dtype=bool)
         self.do_boundary_smoothing = False
 
+        # Device topology: the default planar tile-engine iteration
+        # reads only PLANAR_TD_KEYS (the face-angle fixed point's
+        # tables) — staging just those halves device-topology HBM and
+        # upload time at scale.  Any path that traces the dense
+        # iteration_body (step(), dense batch, layers/boundary,
+        # quality()) upgrades to the full dict via _ensure_full_td().
+        layer_ids = self.topo.patch_ids_matching(self.params.layer_patches)
+        self._layer_ids = layer_ids
+        will_layer = (len(layer_ids)
+                      and self.params.layer_max_blending_fraction > 1e-15)
+        self._td_trimmed = bool(self.use_tile_engine and not will_layer
+                                and _planar_batch_enabled())
+        self.td = to_device(self.topo,
+                            PLANAR_TD_KEYS if self._td_trimmed else None)
+
         # Boundary-layer treatment setup (reference src/smoothMesh.C:
         # 2024-2033, 2215-2230): enabled when layerPatches match and the
         # blending fraction is positive
@@ -448,9 +479,7 @@ class Smoother:
         self.bnd = None
         self.layer_maps = None
         self.normals = jnp.zeros_like(self.points)
-        layer_ids = self.topo.patch_ids_matching(self.params.layer_patches)
-        self._layer_ids = layer_ids
-        if len(layer_ids) and self.params.layer_max_blending_fraction > 1e-15:
+        if will_layer:
             self._setup_maps()
             maps = self.layer_maps
             self.layer = {
@@ -507,6 +536,7 @@ class Smoother:
         """
         from smoothmesh_tpu import boundary as bps
 
+        self._ensure_full_td()   # boundary pipeline reads the full dict
         if target_edge_points is None:
             target_edge_points, target_edges = init_edge_points, init_edges
         if self._orders is not None:
@@ -680,10 +710,8 @@ class Smoother:
         # convergence select: planar 109 (fori or scan), dense 108
         # (scan+cond) but 161 (fori+select).  The planar fori batch is
         # the most robust fast configuration on this toolchain.
-        use_planar = (os.environ.get("SMOOTHMESH_PLANAR_BATCH", "1")
-                      == "1")
-        if use_planar and engine is not None and not has_layer \
-                and not has_bnd:
+        if _planar_batch_enabled() and engine is not None \
+                and not has_layer and not has_bnd:
             # default path: planar carry (see iteration_body_planar)
             from smoothmesh_tpu.ops.tiled import from_planar
 
@@ -787,6 +815,9 @@ class Smoother:
                 if r.residual < self.params.rel_tol:
                     break
             return out
+        if not (_planar_batch_enabled() and self.engine is not None
+                and self.layer is None and self.bnd is None):
+            self._ensure_full_td()   # dense batch traces iteration_body
         if self._batch is None:
             self._batch = jax.jit(self._build_batch())
         results: list = []
@@ -819,7 +850,15 @@ class Smoother:
             n -= k
         return results
 
+    def _ensure_full_td(self) -> None:
+        """Upgrade a trimmed device topology to the full dict (paths
+        outside the planar engine iteration read more keys)."""
+        if self._td_trimmed:
+            self.td = to_device(self.topo)
+            self._td_trimmed = False
+
     def step(self) -> StepResult:
+        self._ensure_full_td()   # single-step path traces iteration_body
         self._iteration += 1
         t0 = time.time()
         new_points, normals, res, n_frozen, n_miss = self._step(
@@ -909,6 +948,7 @@ class Smoother:
 
     # -- reporting -----------------------------------------------------------
     def quality(self) -> dict:
+        self._ensure_full_td()
         rep = quality.quality_report(self.points, self.td)
         # undo normalization on length/volume-valued metrics
         s = self._scale

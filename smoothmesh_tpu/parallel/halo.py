@@ -595,7 +595,11 @@ class HaloSmoother:
         interpret = jax.default_backend() != "tpu"
         self.engine, stacked_arr = build_stacked_engines(
             sh.topos, interpret)
-        tds = [to_device(t) for t in sh.topos]
+        # The halo iteration is pure iteration_body_planar: stage only
+        # the planar key set (halves per-shard device topology)
+        from smoothmesh_tpu.driver import PLANAR_TD_KEYS
+
+        tds = [to_device(t, PLANAR_TD_KEYS) for t in sh.topos]
         tds = [{k: np.asarray(v) for k, v in td.items()} for td in tds]
         td_stack = {k: np.stack([td[k] for td in tds]) for k in tds[0]}
 
