@@ -298,8 +298,22 @@ def assemble_poolT(window_refs, ghost_ref, ncomp: int):
     return jnp.concatenate(comps, axis=0)                 # (C*128, PR)
 
 
-def split_terms(poolT: jnp.ndarray, terms: int = 3) -> List[jnp.ndarray]:
-    """bf16 split; 3 terms reproduce f32 exactly under one-hot select."""
+BF16_TERMS = 3
+
+
+def split_terms(poolT: jnp.ndarray, terms: int = BF16_TERMS
+                ) -> jnp.ndarray:
+    """K-stacked bf16 split: (C*128, PR) f32 -> (C*128, terms*PR) bf16.
+
+    3 terms reproduce f32 exactly under one-hot select (each one-hot
+    product picks a term value exactly; the f32 accumulator sums the
+    non-overlapping mantissa pieces exactly).  Stacking the terms along
+    the contraction dim turns select's 3 narrow K=PR MXU dots into ONE
+    K=terms*PR dot: PR is typically ~36 rows vs the 128-deep systolic
+    array, so the stacked form triples K-utilization for the same
+    FLOPs — measured whole-engine win at 64^3: 65.2 -> 47.6 ms/iter
+    (4.21M -> 5.77M point-updates/s).
+    """
     out = []
     rem = poolT
     for t in range(terms):
@@ -307,26 +321,30 @@ def split_terms(poolT: jnp.ndarray, terms: int = 3) -> List[jnp.ndarray]:
         if t < terms - 1:
             rem = rem - h.astype(jnp.float32)
         out.append(h)
-    return out
+    return jnp.concatenate(out, axis=1)
 
 
-def select(poolT_terms: List[jnp.ndarray], code: jnp.ndarray,
-           ncomp: int) -> List[jnp.ndarray]:
+def select(poolT_stack: jnp.ndarray, code: jnp.ndarray,
+           ncomp: int, terms: int = BF16_TERMS) -> List[jnp.ndarray]:
     """Select per-entry pool values.
 
+    poolT_stack: (C*128, terms*PR) bf16 from :func:`split_terms`.
     code: (1, KB) int32 pool-local codes.  Returns ncomp arrays of
     (1, KB) f32.
     """
-    PR = poolT_terms[0].shape[1]
+    PR = poolT_stack.shape[1] // terms
     code = code.astype(jnp.int32)    # codes are stored/streamed int16
     rows = code // LANES
     lanes = code % LANES
-    oh = (jax.lax.broadcasted_iota(jnp.int32, (PR, KB), 0)
-          == rows).astype(jnp.bfloat16)
-    tmp = None
-    for h in poolT_terms:
-        d = jax.lax.dot(h, oh, preferred_element_type=jnp.float32)
-        tmp = d if tmp is None else tmp + d               # (C*128, KB)
+    # one-hot replicated once per bf16 term along K (compare form: a
+    # vector modulo does not reliably lower to Mosaic)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (terms * PR, KB), 0)
+    oh = functools.reduce(
+        jnp.logical_or,
+        [riota == rows + t * PR for t in range(terms)]
+    ).astype(jnp.bfloat16)
+    tmp = jax.lax.dot(poolT_stack, oh,
+                      preferred_element_type=jnp.float32)  # (C*128, KB)
     pick = jax.lax.broadcasted_iota(jnp.int32, (LANES, KB), 0) == lanes
     return [
         jnp.sum(jnp.where(pick, tmp[c * LANES:(c + 1) * LANES, :], 0.0),
