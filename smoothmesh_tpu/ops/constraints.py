@@ -386,6 +386,14 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     Ke = min(chunk if chunk else 4096, E)
     Kp = min(chunk if chunk else 4096, N)
 
+    # Active sets are compacted to exact entry lists with jnp.nonzero
+    # and streamed in fixed-size chunks.  MEASURED NEGATIVE ALTERNATIVE
+    # (round 3): 128-entry-BLOCK-granularity compaction (nonzero over
+    # n/128 block predicates, rows masked by the original predicate)
+    # regressed stress mode 365 -> 2055 ms/iter at 64^3 — dirty bits
+    # after the first sweep scatter roughly one-per-block, so every
+    # dirty sweep ballooned to a near-full eval pass.  Exact compaction
+    # keeps sweeps O(dirty); its nonzero cost is the price.
     def chunked(body_fn, init, idx_arr, n_valid, K):
         def cond(s):
             c, _ = s
@@ -651,6 +659,9 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
         # and .set(True) is idempotent, so this reaches the exact same
         # fixed point as re-evaluating everything — sweeps after the
         # first cost O(dirty).
+        pe_tab = td["point_edges"][:N]
+        pe_tab_mask = td["point_edges_mask"][:N]
+
         def sweep_body(state):
             frozen_cur, newly, bufs = state
             dirty_e = (newly[edges_arr[:, 0]] | newly[edges_arr[:, 1]]) \
@@ -661,10 +672,12 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                 lambda ei, rv, b: eval_edges_chunk(frozen_cur, ei, rv, b,
                                                    tuple(range(WP))),
                 bufs, de_idx, n_de, Ke)
-            dirty_p = jnp.zeros(N, dtype=bool)
-            dirty_p = dirty_p.at[edges_arr[:, 0]].max(dirty_e)
-            dirty_p = dirty_p.at[edges_arr[:, 1]].max(dirty_e)
-            dirty_p = dirty_p & active
+            # dirty points = points with a dirty incident edge: GATHER
+            # over point_edges (scatter-max over the 2E edge endpoints
+            # is ~20x slower per row on TPU)
+            dirty_p = jnp.any(
+                jnp.where(pe_tab_mask, dirty_e[pe_tab], False), axis=1)
+            dirty_p = dirty_p & active[:N]
             dp_idx = jnp.nonzero(dirty_p, size=N, fill_value=0)[0]
             n_dp = jnp.sum(dirty_p)
             frozen_new, _, bufs = chunked(
