@@ -192,7 +192,7 @@ def main() -> int:
     # metric; scale studies at larger N set a smaller/zero cap.
     cap = int(os.environ.get(
         "SMOOTHMESH_BENCH_CONVERGE_CAP",
-        "3300" if (N_SIDE <= 64 and not cpu_mode and not stress_mode
+        "3600" if (N_SIDE <= 64 and not cpu_mode and not stress_mode
                    and not boundary_mode) else "100"))
     rr = r
     if rr.residual >= 0.02:
