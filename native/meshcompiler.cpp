@@ -17,6 +17,12 @@ extern "C" {
 
 // Hash-based edge extraction from face perimeters.
 //
+// Index arrays are int32: every entity id (points, faces, cells,
+// edges, perimeter entries) fits 2^31 even at the 10M-cell BASELINE
+// scale (M = 121.7M perimeter entries at 216^3), and int32 halves the
+// setup-path peak RSS, which is what bounds host setup at 10M cells
+// (docs/parity.md).  Scalar sizes stay int64.
+//
 // Inputs:
 //   flat[M]      face point labels (concatenated perimeters)
 //   offsets[F+1] face start offsets into flat
@@ -27,28 +33,28 @@ extern "C" {
 //   edges_out[2*M]   unique edge endpoints (lo, hi); only the first
 //                    2*n_edges entries are meaningful
 // Returns: number of unique edges (<= M), or -1 on error.
-int64_t build_edges(const int64_t* flat, const int64_t* offsets,
+int64_t build_edges(const int32_t* flat, const int64_t* offsets,
                     int64_t n_faces, int64_t n_points,
-                    int64_t* edge_of_pair, int64_t* edges_out) {
+                    int32_t* edge_of_pair, int32_t* edges_out) {
     const int64_t m = offsets[n_faces];
     // open addressing, power-of-two capacity >= 2*m
     uint64_t cap = 1;
     while (cap < (uint64_t)(2 * m + 4)) cap <<= 1;
     const uint64_t mask = cap - 1;
-    std::vector<int64_t> slot_edge(cap, -1);
+    std::vector<int32_t> slot_edge(cap, -1);
     std::vector<uint64_t> slot_key(cap, ~0ull);
 
-    int64_t n_edges = 0;
+    int32_t n_edges = 0;
     for (int64_t f = 0; f < n_faces; ++f) {
         const int64_t beg = offsets[f];
         const int64_t end = offsets[f + 1];
         const int64_t n = end - beg;
         for (int64_t k = 0; k < n; ++k) {
-            int64_t a = flat[beg + k];
-            int64_t b = flat[beg + (k + 1 == n ? 0 : k + 1)];
+            int32_t a = flat[beg + k];
+            int32_t b = flat[beg + (k + 1 == n ? 0 : k + 1)];
             if (a < 0 || b < 0 || a >= n_points || b >= n_points) return -1;
-            const int64_t lo = a < b ? a : b;
-            const int64_t hi = a < b ? b : a;
+            const int32_t lo = a < b ? a : b;
+            const int32_t hi = a < b ? b : a;
             const uint64_t key = (uint64_t)lo * (uint64_t)n_points
                 + (uint64_t)hi;
             // splitmix-style scramble
@@ -61,8 +67,8 @@ int64_t build_edges(const int64_t* flat, const int64_t* offsets,
                 if (slot_edge[s] < 0) {
                     slot_edge[s] = n_edges;
                     slot_key[s] = key;
-                    edges_out[2 * n_edges] = lo;
-                    edges_out[2 * n_edges + 1] = hi;
+                    edges_out[2 * (int64_t)n_edges] = lo;
+                    edges_out[2 * (int64_t)n_edges + 1] = hi;
                     edge_of_pair[beg + k] = n_edges;
                     ++n_edges;
                     break;
@@ -80,15 +86,15 @@ int64_t build_edges(const int64_t* flat, const int64_t* offsets,
 
 // Grouped padding: given (key, value) pairs, compute group sizes.
 // counts must be zero-initialized with length n_rows.
-void group_counts(const int64_t* keys, int64_t m, int64_t* counts) {
+void group_counts(const int32_t* keys, int64_t m, int32_t* counts) {
     for (int64_t i = 0; i < m; ++i) counts[keys[i]] += 1;
 }
 
 // Fill padded (n_rows x width) arrays from (key, value) pairs in
 // input order.  cursor must be zero-initialized (n_rows).  out must be
 // pre-filled with the pad value; mask with 0.
-void group_fill(const int64_t* keys, const int64_t* vals, int64_t m,
-                int64_t width, int64_t* cursor, int64_t* out,
+void group_fill(const int32_t* keys, const int32_t* vals, int64_t m,
+                int64_t width, int32_t* cursor, int32_t* out,
                 uint8_t* mask) {
     for (int64_t i = 0; i < m; ++i) {
         const int64_t r = keys[i];
@@ -100,12 +106,12 @@ void group_fill(const int64_t* keys, const int64_t* vals, int64_t m,
 
 // Deduplicating variant: skips (key, val) pairs already present in the
 // row (linear probe over the row — row widths are small degrees).
-void group_fill_dedup(const int64_t* keys, const int64_t* vals, int64_t m,
-                      int64_t width, int64_t* cursor, int64_t* out,
+void group_fill_dedup(const int32_t* keys, const int32_t* vals, int64_t m,
+                      int64_t width, int32_t* cursor, int32_t* out,
                       uint8_t* mask) {
     for (int64_t i = 0; i < m; ++i) {
         const int64_t r = keys[i];
-        const int64_t v = vals[i];
+        const int32_t v = vals[i];
         const int64_t n = cursor[r];
         bool dup = false;
         for (int64_t c = 0; c < n; ++c) {
@@ -174,26 +180,27 @@ extern "C" {
 // valid (edge, cell) has != 2 adjacent faces (mesh sanity violation,
 // reference findCellFacePair src/smoothMesh.C:1042-1097).
 int64_t edge_cell_face_pairs(
-    const int64_t* edge_faces, const uint8_t* ef_mask,
-    const int64_t* edge_cells, const uint8_t* ec_mask,
-    const int64_t* owner, const int64_t* neighbour /* -1 if none */,
+    const int32_t* edge_faces, const uint8_t* ef_mask,
+    const int32_t* edge_cells, const uint8_t* ec_mask,
+    const int32_t* owner, const int32_t* neighbour /* -1 if none */,
     int64_t n_edges, int64_t wc, int64_t wf,
-    int64_t* f0, int64_t* f1) {
+    int32_t* f0, int32_t* f1) {
     for (int64_t e = 0; e < n_edges; ++e) {
-        const int64_t* ef = edge_faces + e * wf;
+        const int32_t* ef = edge_faces + e * wf;
         const uint8_t* em = ef_mask + e * wf;
-        const int64_t* ec = edge_cells + e * wc;
+        const int32_t* ec = edge_cells + e * wc;
         const uint8_t* cm = ec_mask + e * wc;
         for (int64_t u = 0; u < wc; ++u) {
-            int64_t a = 0, b = 0, cnt = 0;
+            int32_t a = 0, b = 0;
+            int64_t cnt = 0;
             if (cm[u]) {
-                const int64_t cell = ec[u];
+                const int32_t cell = ec[u];
                 for (int64_t w = 0; w < wf; ++w) {
                     if (!em[w]) continue;
-                    const int64_t f = ef[w];
+                    const int32_t f = ef[w];
                     if (owner[f] == cell || neighbour[f] == cell) {
-                        if (cnt == 0) a = w;
-                        else if (cnt == 1) b = w;
+                        if (cnt == 0) a = (int32_t)w;
+                        else if (cnt == 1) b = (int32_t)w;
                         ++cnt;
                     }
                 }

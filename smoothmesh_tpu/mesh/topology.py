@@ -188,27 +188,40 @@ def compile_topology(mesh: PolyMesh, use_native: bool = True) -> MeshTopology:
     Fi = mesh.n_internal_faces
     C = mesh.n_cells
 
-    flat = mesh.face_flat.astype(np.int64)
+    # All intermediates are int32: every entity id fits 2^31 even at
+    # the 10M-cell BASELINE scale (M = 121.7M perimeter entries at
+    # 216^3), and the int64 intermediates were what dominated the
+    # 37.5 GB setup-path peak RSS (experiments/scale10m.py).  Offsets
+    # stay int64 (the native build_edges size parameter).
+    if mesh.face_flat.size >= 2**31:
+        raise ValueError(
+            "compile_topology: mesh exceeds int32 id range "
+            f"({mesh.face_flat.size:,} perimeter entries >= 2^31); "
+            "meshes this large (>170M cells) need a partitioned setup")
+    flat = mesh.face_flat.astype(np.int32)
     offs = mesh.face_offsets.astype(np.int64)
-    counts = np.diff(offs)
-    face_of_entry = np.repeat(np.arange(F), counts)
+    counts = np.diff(offs).astype(np.int32)
+    face_of_entry = np.repeat(np.arange(F, dtype=np.int32), counts)
 
     # face_points (+ cyclic next), preserving perimeter order by slot
-    slot = np.arange(len(flat)) - offs[face_of_entry]
+    offs32 = offs.astype(np.int32)   # values <= M < 2^31
+    slot = np.arange(len(flat), dtype=np.int32) - offs32[face_of_entry]
     width = int(counts.max())
-    face_points = np.zeros((F, width), dtype=np.int64)
+    face_points = np.zeros((F, width), dtype=np.int32)
     face_mask = np.zeros((F, width), dtype=bool)
     face_points[face_of_entry, slot] = flat
     face_mask[face_of_entry, slot] = True
     nxt_slot = slot + 1
     wrap = nxt_slot >= counts[face_of_entry]
     nxt_slot[wrap] = 0
-    face_points_next = np.zeros((F, width), dtype=np.int64)
-    face_points_next[face_of_entry, slot] = flat[offs[face_of_entry] + nxt_slot]
+    face_points_next = np.zeros((F, width), dtype=np.int32)
+    face_points_next[face_of_entry, slot] = flat[offs32[face_of_entry]
+                                                 + nxt_slot]
+    del wrap
 
-    owner = mesh.owner.astype(np.int64)
-    neighbour_full = np.full(F, -1, dtype=np.int64)
-    neighbour_full[:Fi] = mesh.neighbour.astype(np.int64)
+    owner = mesh.owner.astype(np.int32)
+    neighbour_full = np.full(F, -1, dtype=np.int32)
+    neighbour_full[:Fi] = mesh.neighbour.astype(np.int32)
     has_neighbour = neighbour_full >= 0
 
     # Edges: undirected unique pairs from face perimeters
@@ -226,14 +239,18 @@ def compile_topology(mesh: PolyMesh, use_native: bool = True) -> MeshTopology:
         edges, edge_of_pair = native_mod.build_edges(flat, offs, N)
         E = len(edges)
     else:
-        pair_a = flat
-        pair_b = flat[offs[face_of_entry] + nxt_slot]
+        pair_a = flat.astype(np.int64)
+        pair_b = flat[offs32[face_of_entry] + nxt_slot].astype(np.int64)
         lo = np.minimum(pair_a, pair_b)
         hi = np.maximum(pair_a, pair_b)
         pair_key = lo * N + hi
         uniq_keys, edge_of_pair = np.unique(pair_key, return_inverse=True)
         E = len(uniq_keys)
-        edges = np.stack([uniq_keys // N, uniq_keys % N], axis=1)
+        edges = np.stack([uniq_keys // N, uniq_keys % N],
+                         axis=1).astype(np.int32)
+        edge_of_pair = edge_of_pair.astype(np.int32)
+        del pair_a, pair_b, lo, hi, pair_key, uniq_keys
+    del nxt_slot
 
     # edge_faces: an edge appears once per face perimeter, so (edge,
     # face) pairs are already unique per face
@@ -245,14 +262,16 @@ def compile_topology(mesh: PolyMesh, use_native: bool = True) -> MeshTopology:
                                          dedupe_key=face_of_entry)
 
     # edge_cells: union of owner/neighbour cells over edge faces
-    ec_e = np.concatenate([edge_of_pair, edge_of_pair[has_neighbour[face_of_entry]]])
+    foe_has_n = has_neighbour[face_of_entry]
+    ec_e = np.concatenate([edge_of_pair, edge_of_pair[foe_has_n]])
     ec_c = np.concatenate([owner[face_of_entry],
-                           neighbour_full[face_of_entry][has_neighbour[face_of_entry]]])
+                           neighbour_full[face_of_entry][foe_has_n]])
     if native_mod is not None:
         ec_mask, edge_cells = native_mod.pad_groups_native(
             ec_e, E, ec_c, dedupe=True)
     else:
         ec_mask, edge_cells = pad_groups(ec_e, E, ec_c, dedupe_key=ec_c)
+    del ec_e, ec_c
 
     # Per-edge per-cell face pair slots (replaces findCellFacePair)
     pairs = (native_mod.edge_cell_face_pairs(
@@ -286,73 +305,84 @@ def compile_topology(mesh: PolyMesh, use_native: bool = True) -> MeshTopology:
         np.concatenate([edges[:, 0], edges[:, 1]]), N,
         np.concatenate([edges[:, 1], edges[:, 0]]),
     )
+    e_ids = np.arange(E, dtype=np.int32)
     pe_mask, point_edges = pad_groups(
         np.concatenate([edges[:, 0], edges[:, 1]]), N,
-        np.concatenate([np.arange(E), np.arange(E)]),
+        np.concatenate([e_ids, e_ids]),
     )
+    del e_ids
     # side table: which endpoint slot (0/1) the point occupies in each
     # of its edges (used by the edge-centric face-angle evaluation)
     point_edges_side = np.where(
-        edges[point_edges, 0] == np.arange(N)[:, None], 0, 1
-    ).astype(np.int64)
+        edges[point_edges, 0] == np.arange(N, dtype=np.int32)[:, None],
+        np.int32(0), np.int32(1))
     pf_mask, point_faces, wedge_prev_arr, wedge_next_arr = _point_faces_wedges(
         flat, offs, counts, face_of_entry, slot, N, F, native_mod
     )
+    del slot
     # point_cells via (cell, point) incidence from faces
-    pc_pt = np.concatenate([flat, flat[has_neighbour[face_of_entry]]])
+    pc_pt = np.concatenate([flat, flat[foe_has_n]])
     pc_cl = np.concatenate([owner[face_of_entry],
-                            neighbour_full[face_of_entry][has_neighbour[face_of_entry]]])
+                            neighbour_full[face_of_entry][foe_has_n]])
+    del foe_has_n
     if native_mod is not None:
         pc_mask, point_cells = native_mod.pad_groups_native(
             pc_pt, N, pc_cl, dedupe=True)
     else:
         pc_mask, point_cells = pad_groups(pc_pt, N, pc_cl, dedupe_key=pc_cl)
+    del pc_pt, pc_cl, flat, face_of_entry, edge_of_pair
 
     # cell_faces
+    f_ids = np.arange(F, dtype=np.int32)
     cf_c = np.concatenate([owner, neighbour_full[has_neighbour]])
-    cf_f = np.concatenate([np.arange(F), np.arange(F)[has_neighbour]])
+    cf_f = np.concatenate([f_ids, f_ids[has_neighbour]])
+    del f_ids
     if native_mod is not None:
         cf_mask, cell_faces = native_mod.pad_groups_native(cf_c, C, cf_f)
     else:
         cf_mask, cell_faces = pad_groups(cf_c, C, cf_f, dedupe_key=cf_f)
+    del cf_c, cf_f
 
     # boundary classification
-    face_patch = np.full(F, -1, dtype=np.int64)
+    face_patch = np.full(F, -1, dtype=np.int32)
     for pid, p in enumerate(mesh.patches):
         face_patch[p.start_face: p.start_face + p.n_faces] = pid
     is_internal = ~boundary_point_mask(mesh)
 
+    def i32(a):
+        return a.astype(np.int32, copy=False)
+
     return MeshTopology(
         n_points=N, n_cells=C, n_faces=F, n_internal_faces=Fi, n_edges=E,
-        face_points=face_points.astype(np.int32),
-        face_points_next=face_points_next.astype(np.int32),
+        face_points=i32(face_points),
+        face_points_next=i32(face_points_next),
         face_mask=face_mask,
-        face_npoints=counts.astype(np.int32),
-        owner=owner.astype(np.int32),
-        neighbour=np.maximum(neighbour_full, 0).astype(np.int32),
+        face_npoints=i32(counts),
+        owner=i32(owner),
+        neighbour=i32(np.maximum(neighbour_full, 0)),
         has_neighbour=has_neighbour,
-        edges=edges.astype(np.int32),
-        edge_faces=edge_faces.astype(np.int32),
+        edges=i32(edges),
+        edge_faces=i32(edge_faces),
         edge_faces_mask=ef_mask,
-        edge_cells=edge_cells.astype(np.int32),
+        edge_cells=i32(edge_cells),
         edge_cells_mask=ec_mask,
-        edge_cell_f0=edge_cell_f0.astype(np.int32),
-        edge_cell_f1=edge_cell_f1.astype(np.int32),
-        point_points=point_points.astype(np.int32),
+        edge_cell_f0=i32(edge_cell_f0),
+        edge_cell_f1=i32(edge_cell_f1),
+        point_points=i32(point_points),
         point_points_mask=pp_mask,
-        point_cells=point_cells.astype(np.int32),
+        point_cells=i32(point_cells),
         point_cells_mask=pc_mask,
-        point_faces=point_faces.astype(np.int32),
+        point_faces=i32(point_faces),
         point_faces_mask=pf_mask,
-        point_edges=point_edges.astype(np.int32),
+        point_edges=i32(point_edges),
         point_edges_mask=pe_mask,
-        point_edges_side=point_edges_side.astype(np.int32),
-        wedge_prev=wedge_prev_arr.astype(np.int32),
-        wedge_next=wedge_next_arr.astype(np.int32),
-        cell_faces=cell_faces.astype(np.int32),
+        point_edges_side=i32(point_edges_side),
+        wedge_prev=i32(wedge_prev_arr),
+        wedge_next=i32(wedge_next_arr),
+        cell_faces=i32(cell_faces),
         cell_faces_mask=cf_mask,
         is_internal_point=is_internal,
-        face_patch=face_patch.astype(np.int32),
+        face_patch=i32(face_patch),
         patch_names=tuple(p.name for p in mesh.patches),
         patch_types=tuple(p.type for p in mesh.patches),
     )
@@ -361,13 +391,14 @@ def compile_topology(mesh: PolyMesh, use_native: bool = True) -> MeshTopology:
 def _point_faces_wedges(flat, offs, counts, face_of_entry, slot, N, F,
                         native_mod=None):
     """point_faces plus per-incidence wedge neighbours (prev/next in face)."""
+    offs32 = offs.astype(np.int32)   # values <= M < 2^31
     prv_slot = slot - 1
     prv_slot[prv_slot < 0] = counts[face_of_entry[prv_slot < 0]] - 1
     nxt_slot = slot + 1
     wrap = nxt_slot >= counts[face_of_entry]
     nxt_slot[wrap] = 0
-    prev_pt = flat[offs[face_of_entry] + prv_slot]
-    next_pt = flat[offs[face_of_entry] + nxt_slot]
+    prev_pt = flat[offs32[face_of_entry] + prv_slot]
+    next_pt = flat[offs32[face_of_entry] + nxt_slot]
     if native_mod is not None:
         # Three order-preserving fills land in aligned slots
         mask, pfaces = native_mod.pad_groups_native(flat, N, face_of_entry)

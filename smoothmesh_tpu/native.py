@@ -41,29 +41,36 @@ def _lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(so)
     except OSError:
         return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
     u8p = ctypes.POINTER(ctypes.c_uint8)
+    # Index arrays are int32 (ids fit 2^31 at 10M-cell scale; halves
+    # the setup-path peak RSS); sizes/offsets stay int64.
     lib.build_edges.restype = ctypes.c_int64
-    lib.build_edges.argtypes = [i64p, i64p, ctypes.c_int64,
-                                ctypes.c_int64, i64p, i64p]
+    lib.build_edges.argtypes = [i32p, i64p, ctypes.c_int64,
+                                ctypes.c_int64, i32p, i32p]
     lib.group_counts.restype = None
-    lib.group_counts.argtypes = [i64p, ctypes.c_int64, i64p]
+    lib.group_counts.argtypes = [i32p, ctypes.c_int64, i32p]
     lib.group_fill.restype = None
-    lib.group_fill.argtypes = [i64p, i64p, ctypes.c_int64, ctypes.c_int64,
-                               i64p, i64p, u8p]
+    lib.group_fill.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int64,
+                               i32p, i32p, u8p]
     lib.group_fill_dedup.restype = None
     lib.group_fill_dedup.argtypes = lib.group_fill.argtypes
     lib.edge_cell_face_pairs.restype = ctypes.c_int64
-    lib.edge_cell_face_pairs.argtypes = [i64p, u8p, i64p, u8p, i64p,
-                                         i64p, ctypes.c_int64,
+    lib.edge_cell_face_pairs.argtypes = [i32p, u8p, i32p, u8p, i32p,
+                                         i32p, ctypes.c_int64,
                                          ctypes.c_int64, ctypes.c_int64,
-                                         i64p, i64p]
+                                         i32p, i32p]
     _LIB = lib
     return _LIB
 
 
 def available() -> bool:
     return _lib() is not None
+
+
+def _p32(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
 def _p64(a: np.ndarray):
@@ -84,15 +91,15 @@ def build_edges(flat: np.ndarray, offsets: np.ndarray,
     lib = _lib()
     if lib is None:
         return None
-    flat = np.ascontiguousarray(flat, dtype=np.int64)
+    flat = np.ascontiguousarray(flat, dtype=np.int32)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     m = int(offsets[-1])
-    edge_of_pair = np.empty(m, dtype=np.int64)
-    edges_buf = np.empty((m, 2), dtype=np.int64)
+    edge_of_pair = np.empty(m, dtype=np.int32)
+    edges_buf = np.empty((m, 2), dtype=np.int32)
     n_faces = len(offsets) - 1
-    n_edges = lib.build_edges(_p64(flat), _p64(offsets), n_faces,
-                              n_points, _p64(edge_of_pair),
-                              _p64(edges_buf))
+    n_edges = lib.build_edges(_p32(flat), _p64(offsets), n_faces,
+                              n_points, _p32(edge_of_pair),
+                              _p32(edges_buf))
     if n_edges < 0:
         raise ValueError("native build_edges: face point label out of range")
     return edges_buf[:n_edges].copy(), edge_of_pair
@@ -106,17 +113,17 @@ def pad_groups_native(keys: np.ndarray, nrows: int, vals: np.ndarray,
     lib = _lib()
     if lib is None:
         return None
-    keys = np.ascontiguousarray(keys, dtype=np.int64)
-    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    keys = np.ascontiguousarray(keys, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.int32)
     m = len(keys)
-    counts = np.zeros(nrows, dtype=np.int64)
-    lib.group_counts(_p64(keys), m, _p64(counts))
+    counts = np.zeros(nrows, dtype=np.int32)
+    lib.group_counts(_p32(keys), m, _p32(counts))
     width = max(int(counts.max(initial=0)), 1)
-    out = np.zeros((nrows, width), dtype=np.int64)
+    out = np.zeros((nrows, width), dtype=np.int32)
     mask = np.zeros((nrows, width), dtype=np.uint8)
-    cursor = np.zeros(nrows, dtype=np.int64)
+    cursor = np.zeros(nrows, dtype=np.int32)
     fill = lib.group_fill_dedup if dedupe else lib.group_fill
-    fill(_p64(keys), _p64(vals), m, width, _p64(cursor), _p64(out),
+    fill(_p32(keys), _p32(vals), m, width, _p32(cursor), _p32(out),
          _pu8(mask))
     # trim over-wide dedup output
     used = int(cursor.max(initial=0)) if dedupe else width
@@ -133,19 +140,19 @@ def edge_cell_face_pairs(edge_faces, ef_mask, edge_cells, ec_mask,
     lib = _lib()
     if lib is None:
         return None
-    edge_faces = np.ascontiguousarray(edge_faces, dtype=np.int64)
+    edge_faces = np.ascontiguousarray(edge_faces, dtype=np.int32)
     ef_mask = np.ascontiguousarray(ef_mask, dtype=np.uint8)
-    edge_cells = np.ascontiguousarray(edge_cells, dtype=np.int64)
+    edge_cells = np.ascontiguousarray(edge_cells, dtype=np.int32)
     ec_mask = np.ascontiguousarray(ec_mask, dtype=np.uint8)
-    owner = np.ascontiguousarray(owner, dtype=np.int64)
-    neighbour_full = np.ascontiguousarray(neighbour_full, dtype=np.int64)
+    owner = np.ascontiguousarray(owner, dtype=np.int32)
+    neighbour_full = np.ascontiguousarray(neighbour_full, dtype=np.int32)
     E, wf = edge_faces.shape
     wc = edge_cells.shape[1]
-    f0 = np.zeros((E, wc), dtype=np.int64)
-    f1 = np.zeros((E, wc), dtype=np.int64)
+    f0 = np.zeros((E, wc), dtype=np.int32)
+    f1 = np.zeros((E, wc), dtype=np.int32)
     rc = lib.edge_cell_face_pairs(
-        _p64(edge_faces), _pu8(ef_mask), _p64(edge_cells), _pu8(ec_mask),
-        _p64(owner), _p64(neighbour_full), E, wc, wf, _p64(f0), _p64(f1))
+        _p32(edge_faces), _pu8(ef_mask), _p32(edge_cells), _pu8(ec_mask),
+        _p32(owner), _p32(neighbour_full), E, wc, wf, _p32(f0), _p32(f1))
     if rc != 0:
         raise ValueError(
             "mesh sanity: edge/cell with != 2 adjacent edge-faces")
