@@ -674,9 +674,15 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                 bufs, de_idx, n_de, Ke)
             # dirty points = points with a dirty incident edge: GATHER
             # over point_edges (scatter-max over the 2E edge endpoints
-            # is ~20x slower per row on TPU)
-            dirty_p = jnp.any(
-                jnp.where(pe_tab_mask, dirty_e[pe_tab], False), axis=1)
+            # is ~20x slower per row on TPU).  One COLUMN of the
+            # (N, WE) table at a time: the 2D gather's (N, WE) bool
+            # intermediate tiles to (8,128) with 21x padding — 4.9 GB
+            # of HLO temp at 10M points (the 216^3 OOM); WE dense (N,)
+            # gathers produce the same OR at ~40 MB per temp.
+            dirty_p = jnp.zeros((N,), dtype=bool)
+            for _k in range(pe_tab.shape[1]):
+                dirty_p = dirty_p | jnp.where(
+                    pe_tab_mask[:, _k], dirty_e[pe_tab[:, _k]], False)
             dirty_p = dirty_p & active[:N]
             dp_idx = jnp.nonzero(dirty_p, size=N, fill_value=0)[0]
             n_dp = jnp.sum(dirty_p)
