@@ -328,6 +328,11 @@ def default_face_angle_chunk(topo) -> Optional[int]:
     point; cap the batch at ~2^27 floats (~0.5-1 GB) and round to a
     power of two so recompiles don't proliferate.
     """
+    env = os.environ.get("SMOOTHMESH_FA_CHUNK")
+    if env is not None:
+        # experiment knob: 0 = unchunked policy (constraints falls back
+        # to its 4096 default), else the explicit eval chunk size
+        return int(env) or None
     wp = topo.point_points.shape[1]
     we = topo.point_edges.shape[1]
     wf = topo.edge_faces.shape[1]

@@ -436,6 +436,7 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     # gathers), and (f0, f1, cell-mask) packed into one int32 per
     # edge-cell slot (3 gathers -> 1)
     fps_signed = jnp.where(td["face_mask"], td["face_points"], -1)
+    pps_signed = jnp.where(pp_mask, pp, -1)
     _sb = max(WF, 1).bit_length()
     ecf_packed = (td["edge_cell_f0"]
                   + (td["edge_cell_f1"] << _sb)
@@ -477,9 +478,11 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
         f0 = [e & ((1 << _sb) - 1) for e in ecf]
         f1 = [(e >> _sb) & ((1 << _sb) - 1) for e in ecf]
         cc = [[cc_T[c, cids[u]] for c in range(3)] for u in range(WC)]
-        q_all = [[pp[:, t][ep[s]] for t in range(WP)] for s in (0, 1)]
-        q_ok_all = [[pp_mask[:, t][ep[s]] for t in range(WP)]
-                    for s in (0, 1)]
+        # validity folded into the id as -1 (fps_signed-style): halves
+        # the q gather rows (mask gathers disappear; -1 never matches a
+        # real fp/endpoint id and clamps harmlessly in delta_T reads)
+        q_all = [[pps_signed[:, t][ep[s]] for t in range(WP)]
+                 for s in (0, 1)]
 
         def dot3(a, b):
             return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
@@ -499,7 +502,9 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
             for ti, t in enumerate(t_slots):
                 if t < WP:
                     q_id = q_all[s][t]
-                    q_ok = q_ok_all[s][t]
+                    q_ok = q_id >= 0
+                    # q_id == -1 wraps to the last (pad) column of
+                    # delta_T; the where() discards it
                     dq = [jnp.where(q_ok, delta_T[c, q_id], 0.0)
                           for c in range(3)]
                 else:  # self test: no neighbour substitution
@@ -661,8 +666,63 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
         # first cost O(dirty).
         pe_tab = td["point_edges"][:N]
         pe_tab_mask = td["point_edges_mask"][:N]
+        WE = pe_tab.shape[1]
+        # List-driven dirty sweeps: the dirty sets derive ENTIRELY from
+        # the (few) newly frozen points — dirty edges are their incident
+        # edges, dirty points are them + their edge-neighbours — so the
+        # sweep compacts the newly-frozen POINT list (one nonzero over
+        # N) and builds both lists by small gathers, instead of
+        # materializing (E,)/(N,) dirty masks and compacting them
+        # (nonzero over E + WE dense (N,) gathers per sweep — measured
+        # ~64 ms/iter of stress-mode compactions).  Duplicates in the
+        # lists are harmless (evaluations are deterministic in
+        # frozen_cur, which is constant through the eval phase, and
+        # freeze writes are idempotent); extra incident edges outside
+        # active_e only ever refresh buffer rows no active point reads.
+        # Falls back to the mask-based sweep when more than K_NEW points
+        # froze in one sweep (typically only the first).
+        import os as _os
 
-        def sweep_body(state):
+        K_NEW = min(int(_os.environ.get("SMOOTHMESH_FA_DIRTY_CAP",
+                                        "32768")), N)
+
+        def sweep_fast(state):
+            frozen_cur, newly, bufs = state
+            L = newly.shape[0]
+            newly_n = (newly & (jnp.arange(L) < N)) if L > N else newly
+            n_new = jnp.sum(newly_n)
+            new_idx = jnp.nonzero(newly_n, size=K_NEW, fill_value=0)[0]
+            nrow = jnp.arange(K_NEW) < n_new
+            # dirty edges = edges incident to newly frozen points,
+            # compacted to a contiguous prefix so the chunked
+            # while-loop runs ceil(n_de / Ke) steps
+            dev = (pe_tab_mask[new_idx] & nrow[:, None]).reshape(-1)
+            de_flat = pe_tab[new_idx].reshape(-1)
+            pos = jnp.nonzero(dev, size=K_NEW * WE, fill_value=0)[0]
+            de_list = de_flat[pos]
+            n_de = jnp.sum(dev)
+            bufs = chunked(
+                lambda ei, rv, b: eval_edges_chunk(frozen_cur, ei, rv, b,
+                                                   tuple(range(WP))),
+                bufs, de_list, n_de, min(Ke, K_NEW * WE))
+            # dirty points = newly frozen points + their edge
+            # neighbours, filtered to the active set
+            dp_flat = jnp.concatenate(
+                [new_idx[:, None], pp[new_idx]], axis=1).reshape(-1)
+            dpv = jnp.concatenate(
+                [nrow[:, None], pp_mask[new_idx] & nrow[:, None]],
+                axis=1).reshape(-1)
+            dpv = dpv & active[dp_flat]
+            posp = jnp.nonzero(dpv, size=K_NEW * (WP + 1),
+                               fill_value=0)[0]
+            dp_list = dp_flat[posp]
+            n_dp = jnp.sum(dpv)
+            frozen_new, _, bufs = chunked(
+                pair_agg_chunk, (frozen_cur, jnp.asarray(False), bufs),
+                dp_list, n_dp, min(Kp, K_NEW * (WP + 1)))
+            return (frozen_new, frozen_new & ~frozen_cur, bufs)
+
+        def sweep_slow(state):
             frozen_cur, newly, bufs = state
             dirty_e = (newly[edges_arr[:, 0]] | newly[edges_arr[:, 1]]) \
                 & active_e
@@ -680,7 +740,7 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
             # of HLO temp at 10M points (the 216^3 OOM); WE dense (N,)
             # gathers produce the same OR at ~40 MB per temp.
             dirty_p = jnp.zeros((N,), dtype=bool)
-            for _k in range(pe_tab.shape[1]):
+            for _k in range(WE):
                 dirty_p = dirty_p | jnp.where(
                     pe_tab_mask[:, _k], dirty_e[pe_tab[:, _k]], False)
             dirty_p = dirty_p & active[:N]
@@ -690,6 +750,13 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                 pair_agg_chunk, (frozen_cur, jnp.asarray(False), bufs),
                 dp_idx, n_dp, Kp)
             return (frozen_new, frozen_new & ~frozen_cur, bufs)
+
+        def sweep_body(state):
+            _, newly, _ = state
+            L = newly.shape[0]
+            newly_n = (newly & (jnp.arange(L) < N)) if L > N else newly
+            return jax.lax.cond(jnp.sum(newly_n) <= K_NEW,
+                                sweep_fast, sweep_slow, state)
 
         def sweep_cond(state):
             _, newly, _ = state

@@ -122,6 +122,29 @@ def test_face_angle_matches_oracle_stack(setup):
     assert ref.any()
 
 
+def test_face_angle_sweep_paths_agree(setup, monkeypatch):
+    """The list-driven fast dirty sweep and the mask-based fallback
+    must both reproduce the oracle stack closure (the cap decides which
+    path a sweep takes; cap=1 forces the mask-based sweep whenever more
+    than one point froze in the previous sweep)."""
+    m, t, td, pts, ctrs = setup
+    cent = centroidal_smoothing(pts, ctrs, td, do_boundary_smoothing=False)
+    prop = constrain_max_step_length(pts, cent, 0.05, 0.5)
+    frozen0 = jnp.zeros(t.n_points, dtype=bool)
+    ref = oracle.face_angle_freeze(
+        t, m.points, np.asarray(ctrs), np.asarray(prop), 80.0, 100.0,
+        np.zeros(t.n_points, dtype=bool))
+    outs = []
+    for cap in ("1", "32768"):
+        monkeypatch.setenv("SMOOTHMESH_FA_DIRTY_CAP", cap)
+        ours = restrict_face_angle_deterioration(
+            pts, ctrs, prop, td, np.deg2rad(80.0), np.deg2rad(100.0),
+            frozen0)
+        outs.append(np.asarray(ours))
+        assert np.array_equal(outs[-1], ref)
+    assert np.array_equal(outs[0], outs[1])
+
+
 def test_residual():
     pts = jnp.zeros((5, 3))
     new = pts.at[2, 0].set(0.004)
