@@ -656,9 +656,15 @@ class HaloSmoother:
         td_specs = {k: P("shard") for k in self.td}
         arr_specs = {k: P("shard") for k in self.arrays}
 
+        # Measurement-only knob (experiments): drop the halo sync hooks
+        # so shard_map/stacking glue can be timed separately from the
+        # consensus/OR-combine ops.  NOT semantics-preserving at D>1.
+        import os as _os
+        nosync = _os.environ.get("SMOOTHMESH_HALO_NOSYNC") == "1"
+
         def local_batch(pts4, td, arr, slot, valid, own, owned, n_valid):
             sync = PlanarSync(slot[0], valid[0], own[0])
-            halo = {"sync": sync, "owned": owned[0]}
+            halo = None if nosync else {"sync": sync, "owned": owned[0]}
             tdl = {k: v[0] for k, v in td.items()}
             arrl = {k: v[0] for k, v in arr.items()}
 
