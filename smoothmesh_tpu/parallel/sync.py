@@ -20,7 +20,37 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-VSMALL_OF = 1e-15   # OpenFOAM VSMALL (doubles); tie window of isCloserPoint
+
+def _vsmall(dtype) -> float:
+    """OpenFOAM VSMALL (smoothMeshCommon.H): ~smallest positive normal
+    of the coordinate type.  1e-300 for doubles; the float32 engine path
+    uses the f32 analog so the comparison doesn't flush to 0."""
+    return 1e-37 if jnp.dtype(dtype) == jnp.float32 else 1e-300
+
+
+def is_smaller_by_vector_elements(v1, v2):
+    """Element-wise lexicographic vector compare (reference
+    ``isSmallerByVectorElements``, src/smoothMesh.C:222-239): true when
+    the first differing component of ``v1`` is smaller.  Inputs
+    (..., 3); returns (...) bool."""
+    x1, y1, z1 = v1[..., 0], v1[..., 1], v1[..., 2]
+    x2, y2, z2 = v2[..., 0], v2[..., 1], v2[..., 2]
+    return (x1 < x2) | ((x1 == x2) & ((y1 < y2)
+                                      | ((y1 == y2) & (z1 < z2))))
+
+
+def is_closer_point(p1, p2):
+    """Reference ``isCloserPoint`` (src/smoothMesh.C:246-272), literal:
+    p1 is closer than p2 when they differ and mag(p1)-mag(p2) < VSMALL,
+    or the magnitudes tie within VSMALL and p1 is element-wise smaller.
+    (With VSMALL ~= the smallest normal, the first branch already
+    accepts exact ties; the element-wise branch matters only in the
+    denormal window — kept for literal parity.)"""
+    eq = jnp.all(p1 == p2, axis=-1)
+    d = jnp.linalg.norm(p1, axis=-1) - jnp.linalg.norm(p2, axis=-1)
+    vs = _vsmall(p1.dtype)
+    return ~eq & ((d < vs) | ((jnp.abs(d) < vs)
+                              & is_smaller_by_vector_elements(p1, p2)))
 
 
 def _big(dtype) -> float:
@@ -82,16 +112,24 @@ class PointSync:
         return jax.lax.all_gather(v, self.axis)      # (D, S, ...)
 
     def min_mag_sqr(self, field):
-        """minMagSqrEqOp<vector>: strict smaller-magnitude-squared wins
-        (OpenFOAM's combine op), folded in fixed shard order 0..D-1 so
-        every shard agrees bit-for-bit."""
+        """minMagSqrEqOp<vector>: smaller-magnitude-squared wins, with
+        exact ties broken by the element-wise coordinate compare of
+        ``isSmallerByVectorElements`` (reference src/smoothMesh.C:
+        222-239).  The reference's combine op is strict (tie result
+        depends on MPI exchange order); adding the coordinate tie-break
+        makes the combine a total order, so every shard — and the
+        serial run — agrees bit-for-bit even on symmetric meshes where
+        exact-magnitude ties are common."""
         big = _big(field.dtype)
         null = jnp.asarray(big, field.dtype)
         allv = self._gather_all(field, null)          # (D, S, 3)
 
         def fold(i, acc):
             cand = allv[i]
-            take = jnp.sum(cand * cand, -1) < jnp.sum(acc * acc, -1)
+            m2c = jnp.sum(cand * cand, -1)
+            m2a = jnp.sum(acc * acc, -1)
+            take = (m2c < m2a) | (
+                (m2c == m2a) & is_smaller_by_vector_elements(cand, acc))
             return jnp.where(take[:, None], cand, acc)
 
         combined = jax.lax.fori_loop(1, allv.shape[0], fold, allv[0])
@@ -115,12 +153,9 @@ class PointSync:
         """The three-position global merge of findClosestPoints
         (reference src/smoothMesh.C:389-479): per position, combine
         min-magnitude over shards; where the combined candidate is
-        closer than the local one, shift the local chain down and clear
-        the shared-cell flag."""
-        def closer(p1, p2):
-            eq = jnp.all(p1 == p2, axis=-1)
-            d = jnp.linalg.norm(p1, axis=-1) - jnp.linalg.norm(p2, axis=-1)
-            return ~eq & (d < VSMALL_OF)
+        closer than the local one (``isCloserPoint``), shift the local
+        chain down and clear the shared-cell flag."""
+        closer = is_closer_point
 
         # Position 1
         g1 = self.min_mag_sqr(c1)

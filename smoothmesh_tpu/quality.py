@@ -42,9 +42,19 @@ def mesh_stats(points: np.ndarray, edges: np.ndarray) -> MeshStats:
                      float(perimeter))
 
 
-def quality_report(points, td) -> Dict[str, float]:
-    """Compute the full quality metric set on device, return floats."""
+def quality_report_parts(points, td, face_claim=None, edge_claim=None,
+                         cell_claim=None) -> Dict[str, float]:
+    """Partial quality aggregates over a claimed entity subset.
+
+    ``*_claim`` restrict which faces/edges/cells this invocation is
+    responsible for (None = all).  The halo-sharded driver computes one
+    parts dict per shard — each global entity claimed by exactly one
+    shard whose local closure is complete — and folds them with
+    :func:`combine_quality_parts`; the single-chip path is the
+    ``claim=None`` fold of one part.
+    """
     dtype = points.dtype
+    big = jnp.asarray(np.inf, dtype)
     fg = geo.face_centres_areas(
         points, td["face_points"], td["face_points_next"], td["face_mask"],
         td["face_npoints"])
@@ -54,6 +64,8 @@ def quality_report(points, td) -> Dict[str, float]:
     # Non-orthogonality (internal faces): angle between face area vector
     # and owner->neighbour centre vector
     has_n = td["has_neighbour"]
+    if face_claim is not None:
+        has_n = has_n & face_claim
     own_c = cell_ctrs[td["owner"]]
     nei_c = cell_ctrs[td["neighbour"]]
     d = nei_c - own_c
@@ -84,24 +96,68 @@ def quality_report(points, td) -> Dict[str, float]:
     emin, emax = face_angles_for_edges(
         points, cell_ctrs, td, jnp.arange(E, dtype=td["edges"].dtype),
         no_id, zeros, no_id, zeros, with_subst=False)
+    if edge_claim is not None:
+        emin = jnp.where(edge_claim, emin, big)
+        emax = jnp.where(edge_claim, emax, -big)
 
     # Edge lengths
     ep = points[td["edges"]]
     elen = jnp.linalg.norm(ep[:, 1] - ep[:, 0], axis=-1)
+    if edge_claim is not None:
+        elen = jnp.where(edge_claim, elen, jnp.nan)
+
+    if cell_claim is not None:
+        vols = jnp.where(cell_claim, vols, jnp.nan)
+    vol_valid = ~jnp.isnan(vols)
+    e_valid = ~jnp.isnan(elen)
 
     return {
         "min_face_angle_deg": float(jnp.degrees(jnp.min(emin))),
         "max_face_angle_deg": float(jnp.degrees(jnp.max(emax))),
         "max_non_ortho_deg": float(jnp.max(nonortho)),
-        "avg_non_ortho_deg": float(jnp.sum(nonortho) / jnp.maximum(n_int, 1)),
+        "sum_non_ortho_deg": float(jnp.sum(nonortho)),
+        "n_internal_faces": int(n_int),
         "max_skewness": float(jnp.max(skew)),
-        "min_edge_length": float(jnp.min(elen)),
-        "max_edge_length": float(jnp.max(elen)),
-        "min_volume": float(jnp.min(vols)),
-        "max_volume": float(jnp.max(vols)),
-        "total_volume": float(jnp.sum(vols)),
-        "n_negative_volumes": int(jnp.sum(vols <= 0)),
+        "min_edge_length": float(jnp.min(jnp.where(e_valid, elen, big))),
+        "max_edge_length": float(jnp.max(jnp.where(e_valid, elen, -big))),
+        "min_volume": float(jnp.min(jnp.where(vol_valid, vols, big))),
+        "max_volume": float(jnp.max(jnp.where(vol_valid, vols, -big))),
+        "total_volume": float(jnp.sum(jnp.where(vol_valid, vols, 0.0))),
+        "n_negative_volumes": int(jnp.sum(vol_valid & (vols <= 0))),
     }
+
+
+def combine_quality_parts(parts) -> Dict[str, float]:
+    """Fold per-shard :func:`quality_report_parts` dicts into the
+    global report (same keys as :func:`quality_report`)."""
+    def mn(k):
+        return min(p[k] for p in parts)
+
+    def mx(k):
+        return max(p[k] for p in parts)
+
+    def sm(k):
+        return sum(p[k] for p in parts)
+
+    n_int = sm("n_internal_faces")
+    return {
+        "min_face_angle_deg": mn("min_face_angle_deg"),
+        "max_face_angle_deg": mx("max_face_angle_deg"),
+        "max_non_ortho_deg": mx("max_non_ortho_deg"),
+        "avg_non_ortho_deg": sm("sum_non_ortho_deg") / max(n_int, 1),
+        "max_skewness": mx("max_skewness"),
+        "min_edge_length": mn("min_edge_length"),
+        "max_edge_length": mx("max_edge_length"),
+        "min_volume": mn("min_volume"),
+        "max_volume": mx("max_volume"),
+        "total_volume": sm("total_volume"),
+        "n_negative_volumes": sm("n_negative_volumes"),
+    }
+
+
+def quality_report(points, td) -> Dict[str, float]:
+    """Compute the full quality metric set on device, return floats."""
+    return combine_quality_parts([quality_report_parts(points, td)])
 
 
 def check_mesh(points, td, max_non_ortho: float = 70.0,

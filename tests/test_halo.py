@@ -75,6 +75,36 @@ def test_halo_freeze_free_4shards_improves_quality():
     assert q["min_face_angle_deg"] > q0["min_face_angle_deg"]
 
 
+def test_halo_quality_per_shard_matches_global():
+    """quality() assembles from per-shard claimed entities — no global
+    topology compile — and must agree with the global computation."""
+    from smoothmesh_tpu import quality as qmod
+    from smoothmesh_tpu.device import to_device
+    from smoothmesh_tpu.mesh.topology import compile_topology
+
+    mesh = _mesh()
+    params = SmoothingParams(centroidal_iters=2, rel_tol=0.0)
+    hs = HaloSmoother(mesh, params, n_devices=4)
+    hs.steps(2)
+
+    topo = compile_topology(mesh)
+    # claims cover every global entity exactly once
+    assert int(hs.shards.claim_edge.sum()) == topo.n_edges
+    assert int(hs.shards.claim_face.sum()) == topo.n_faces
+    assert int(hs.shards.claim_cell.sum()) == topo.n_cells
+    assert not hasattr(hs, "_global_topo")
+
+    q = hs.quality()
+    q0 = qmod.quality_report(np.asarray(hs.denormalize()),
+                             to_device(topo))
+    for k, v in q0.items():
+        if isinstance(v, int):
+            assert q[k] == v, k
+        else:
+            # f32 per-shard vs f64 global on identical coordinates
+            assert q[k] == pytest.approx(v, rel=5e-4, abs=1e-5), k
+
+
 def test_smoother_dispatches_to_halo_on_engine_request():
     mesh = _mesh()
     sm = Smoother(mesh, SmoothingParams(centroidal_iters=2, rel_tol=0.0),
