@@ -1,0 +1,112 @@
+"""BASELINE-scale multi-chip artifact: the halo driver end-to-end on a
+216^3 graded hex mesh (10.2M points / 10.08M cells) over 8 virtual CPU
+devices (VERDICT r3 next-round #1b).
+
+Run (slow — tens of minutes on the single host core):
+  PYTHONPATH=/root/repo:/root/.axon_site \
+  python experiments/halo216.py [N] [SHARDS] [ITERS]
+
+Uses the ENGINE-LESS dense halo path (float32 XLA on CPU): the halo
+decomposition, per-shard extraction/padding, consensus + OR-combine
+collectives, the full default-constraint iteration, and the per-shard
+quality assembly all run at metric scale.  The Pallas tile engine
+itself is validated at this scale single-chip (192^3 on-device) and
+multi-chip at small scale (tests/test_halo.py) — interpret-mode Pallas
+at 10M points on one CPU core is not viable.
+
+Writes docs/halo216_artifact.json.
+"""
+
+import json
+import os
+import resource
+import sys
+import time
+
+os.environ.setdefault(
+    "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from smoothmesh_tpu.mesh.blockmesh import hex_block, perturb  # noqa: E402
+from smoothmesh_tpu.params import SmoothingParams  # noqa: E402
+from smoothmesh_tpu.parallel.halo import HaloSmoother  # noqa: E402
+
+
+def rss_gb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def main() -> None:
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 216
+    D = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    art = {"n_side": N, "n_shards": D,
+           "mode": "halo-engineless-cpu-f32",
+           "backend": jax.default_backend(),
+           "n_devices_visible": len(jax.devices())}
+    t0 = time.time()
+    mesh = perturb(hex_block(n=(N, N, N), grading=(2.0, 1.0, 0.5)),
+                   amplitude=0.25 / N, seed=3)
+    art["n_points"] = int(mesh.n_points)
+    art["n_cells"] = int(mesh.n_cells)
+    art["mesh_gen_s"] = round(time.time() - t0, 1)
+    art["mesh_gen_rss_gb"] = round(rss_gb(), 2)
+    print("mesh:", art, flush=True)
+
+    t1 = time.time()
+    sm = HaloSmoother(mesh, SmoothingParams(centroidal_iters=iters,
+                                            rel_tol=0.0),
+                      n_devices=D, dtype=np.float32,
+                      use_tile_engine=False)
+    art["setup_s"] = round(time.time() - t1, 1)
+    art["setup_rss_gb"] = round(rss_gb(), 2)
+    sh = sm.shards
+    art["per_shard_points_padded"] = int(sh.n_padded_points)
+    art["per_shard_cells_padded"] = int(sh.topos[0].n_cells)
+    art["per_shard_edges_padded"] = int(sh.topos[0].n_edges)
+    art["replication_factor"] = round(
+        D * sh.n_padded_points / mesh.n_points, 3)
+    # HBM-equivalent per-shard footprint: the staged device topology +
+    # point state (what one real chip would hold on the dense path)
+    td_bytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                   for v in sm.td.values()) // D
+    state_bytes = (sh.n_padded_points * 3 * 4) * 2   # points + normals
+    art["per_shard_td_gb"] = round(td_bytes / 2**30, 2)
+    art["per_shard_state_gb"] = round(state_bytes / 2**30, 3)
+    print("setup:", art, flush=True)
+
+    sm.iter_batch = 1
+    steps = []
+    for _ in range(iters):
+        t2 = time.time()
+        r = sm.steps(1)[-1]
+        steps.append({"iteration": r.iteration,
+                      "residual": float(r.residual),
+                      "n_frozen": int(r.n_frozen),
+                      "wall_s": round(time.time() - t2, 1)})
+        print("iter:", steps[-1], flush=True)
+    art["iterations"] = steps
+
+    t3 = time.time()
+    q = sm.quality()     # per-shard parts assembly, no global compile
+    art["quality_after"] = {
+        k: (round(v, 6) if isinstance(v, float) else v)
+        for k, v in q.items()}
+    art["quality_s"] = round(time.time() - t3, 1)
+    art["peak_rss_gb"] = round(rss_gb(), 2)
+
+    out = os.path.join(os.path.dirname(__file__), "..", "docs",
+                       "halo216_artifact.json")
+    with open(out, "w") as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps(art), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -85,11 +85,16 @@ RAY_MISS_MSG = (
 def iteration_body(points, smoothing_surface, normals_state, td,
                    params: SmoothingParams, scale: float, do_boundary: bool,
                    layer=None, bnd=None, sync=None, chunk=None,
-                   engine=None, engine_arrays=None):
+                   engine=None, engine_arrays=None, owned=None):
     """One smoothing iteration (reference src/smoothMesh.C:2257-2437),
     pure function shared by the single-chip and sharded drivers.
 
-    ``sync`` is None for single-chip, or a PointSync inside shard_map.
+    ``sync`` is None for single-chip, or a PointSync inside shard_map
+    (disjoint decomposition), or a HaloDenseSync (overlap decomposition,
+    parallel/halo.py — combines reduce to owner consensus).
+    ``owned`` is the halo decomposition's (N,) owner mask: freeze/miss
+    counts then dedupe replicated points (each counted on its owner
+    shard only), matching the serial counts exactly.
     ``layer`` is None or the device dict of LayerMaps arrays (enables
     the orthogonal boundary-layer treatment, reference :2283-2305).
     Length-valued parameters are pre-scaled by the driver's internal
@@ -108,7 +113,10 @@ def iteration_body(points, smoothing_surface, normals_state, td,
         from smoothmesh_tpu.ops.tiled import from_planar
 
         arr = engine_arrays
-        pts4 = engine.pts4(points)
+        # intern from the per-shard td, NOT the engine's own topo: under
+        # shard_map `engine` is the stacked template (shard 0), whose
+        # closed-over flags would leak onto every shard
+        pts4 = engine.pts4(points, intern=td["is_internal_point"])
         geom6, vm3 = engine.face_geometry(arr, pts4[:3])
 
     is_sharp = jnp.zeros(points.shape[0], dtype=bool)
@@ -130,6 +138,12 @@ def iteration_body(points, smoothing_surface, normals_state, td,
         prop4 = engine.predictor(arr, pts4, cc4, max_step,
                                  p.rel_step_frac, do_boundary)
         prop = from_planar(prop4[:3], points.shape[0])
+        if sync is not None:
+            # halo decomposition: owned points' fused predictor results
+            # are exact (complete local stencils); replicated copies
+            # adopt the owner's proposal before any consumer reads
+            # neighbour proposals
+            prop = sync.consensus(prop)
     else:
         cell_ctrs = geo.cell_centres(points, td)
         cent = centroidal_smoothing(points, cell_ctrs, td, do_boundary,
@@ -167,7 +181,10 @@ def iteration_body(points, smoothing_surface, normals_state, td,
         prop, frozen, no_hit = bps.project_boundary_points(
             points, prop, normals_state, frozen, bnd, td, is_sharp,
             sync=sync, chunk=chunk)
-        n_ray_miss = jnp.sum(no_hit & td["point_valid"]).astype(jnp.int32)
+        miss_mask = no_hit & td["point_valid"]
+        if owned is not None:
+            miss_mask = miss_mask & owned
+        n_ray_miss = jnp.sum(miss_mask).astype(jnp.int32)
         prop = lay.project_prismatic_boundary_points(
             prop, td, bnd, normals_state, inner_coords,
             bnd["is_feature_edge"], bnd["is_corner"], is_sharp,
@@ -197,6 +214,12 @@ def iteration_body(points, smoothing_surface, normals_state, td,
             p.total_min_freeze, p.min_angle_rad,
             p.edge_angle_constraint)
         frozen = from_planar(frozen_pl, N)[:, 0] > 0.5
+        if sync is not None and owned is not None:
+            # halo: stage-S self decisions are valid only where the
+            # stencil is complete; keep owned ones and OR across shards
+            # so the face-angle pass sees the globally correct state
+            # (same structure as iteration_body_planar)
+            frozen = sync.or_(frozen & owned)
         if p.face_angle_constraint:
             cur_minmax = engine.face_angles_per_point(arr, pts4, vm3,
                                                       cc4)
@@ -204,24 +227,32 @@ def iteration_body(points, smoothing_surface, normals_state, td,
             frozen = restrict_face_angle_deterioration(
                 points, cell_ctrs, prop, td, p.min_angle_rad,
                 p.max_angle_rad, frozen, chunk=chunk, fc_base=fc_base,
-                cur_minmax=cur_minmax, u_space=True)
+                cur_minmax=cur_minmax, u_space=True, eligible=owned)
     else:
         frozen = restrict_edge_shortening(
             points, prop, td, min_edge, p.total_min_freeze, frozen)
         if p.edge_angle_constraint:
             frozen = restrict_min_edge_angle_decrease(
                 points, prop, td, p.min_angle_rad, frozen)
+        if sync is not None and owned is not None:
+            # halo: stage-S self decisions are valid only where the
+            # stencil is complete (owned); OR across shards so the
+            # face-angle pass sees the globally correct state
+            frozen = sync.or_(frozen & owned)
         if p.face_angle_constraint:
             frozen = restrict_face_angle_deterioration(
                 points, cell_ctrs, prop, td, p.min_angle_rad,
-                p.max_angle_rad, frozen, chunk=chunk)
+                p.max_angle_rad, frozen, chunk=chunk, eligible=owned)
 
     if sync is not None:
         frozen = sync.or_(frozen)
 
     revert = frozen | (~td["is_internal_point"] & ~smoothing_surface)
     new_points = jnp.where(revert[:, None], points, prop)
-    n_frozen = jnp.sum(revert & td["point_valid"])
+    cnt = revert & td["point_valid"]
+    if owned is not None:
+        cnt = cnt & owned
+    n_frozen = jnp.sum(cnt)
     res = calculate_residual(points, new_points, max_step, sync=sync)
     if sync is not None:
         n_frozen = sync.all_sum(n_frozen)
@@ -372,15 +403,14 @@ class Smoother:
         # ``Smoother(..., n_devices=8)`` delegates to the sharded
         # drivers (same surface API) instead of silently running
         # single-chip: the halo-sharded tile engine (parallel/halo.py)
-        # for default internal smoothing on TPU, else the
-        # reference-structured XLA path.
+        # covering internal + layer + boundary smoothing on TPU, else
+        # the reference-structured XLA path (ShardedSmoother).
         if cls is Smoother and n_devices not in (1, None):
             want_engine = use_tile_engine
             if want_engine is None:
                 want_engine = (
                     jax.default_backend() == "tpu"
-                    and (dtype is None or jnp.dtype(dtype) == jnp.float32)
-                    and not params.layer_patches)
+                    and (dtype is None or jnp.dtype(dtype) == jnp.float32))
             if want_engine:
                 from smoothmesh_tpu.parallel.halo import HaloSmoother
 

@@ -840,11 +840,21 @@ class TiledEngine:
         # representation (use u_to_angle for human-readable radians)
         return (up[0, :n], up[1, :n])
 
-    def pts4(self, points: jnp.ndarray) -> jnp.ndarray:
-        """(N, 3) -> (4, N_pad) planar with the is-internal flag."""
-        intern = jnp.asarray(self.topo.is_internal_point, jnp.float32)
+    def pts4(self, points: jnp.ndarray, intern=None) -> jnp.ndarray:
+        """(N, 3) -> (4, N_pad) planar with the is-internal flag.
+
+        ``intern``: per-shard internal-point mask override.  REQUIRED
+        under shard_map: a TiledEngine used as the stacked template
+        (parallel/halo.build_stacked_engines) must stay a pure
+        shape-parameterized program — closing over this engine's own
+        ``topo.is_internal_point`` would bake SHARD 0's flags into
+        every shard's trace.
+        """
+        if intern is None:
+            intern = jnp.asarray(self.topo.is_internal_point)
         return to_planar(jnp.concatenate(
-            [points.astype(jnp.float32), intern[:, None]], axis=1))
+            [points.astype(jnp.float32),
+             intern.astype(jnp.float32)[:, None]], axis=1))
 
     def cell_centres_dense(self, points: jnp.ndarray) -> jnp.ndarray:
         """Convenience twin of geometry.cell_centres: (N,3) -> (C,3)."""

@@ -569,14 +569,21 @@ def build_stacked_engines(topos, interpret: bool):
 class HaloSmoother:
     """Multi-chip smoothing on the tile engine (halo decomposition).
 
-    Internal (default-constraint) smoothing only — the layer/boundary
-    pipelines run on :class:`~smoothmesh_tpu.parallel.sharded
-    .ShardedSmoother`'s reference-structured path.  Surface API matches
-    driver.Smoother (steps/run/quality/denormalize).
+    Supports the full feature set: default internal smoothing runs the
+    PLANAR batched engine iteration (iteration_body_planar); layer
+    treatment and boundary point smoothing run the DENSE engine
+    iteration (driver.iteration_body) per shard with halo-consensus
+    sync semantics (sync.HaloDenseSync) — owned points' stencils are
+    complete, so the reference's ~12 partial-sum syncs per iteration
+    (SURVEY.md §3.2) reduce to one proposal consensus + freeze
+    OR-combines + scalar allreduces.  Surface API matches
+    driver.Smoother (steps/run/quality/denormalize/
+    enable_boundary_smoothing).
     """
 
     def __init__(self, mesh: PolyMesh, params, n_devices=None,
-                 dtype=None, normalize: bool = True, devices=None):
+                 dtype=None, normalize: bool = True, devices=None,
+                 use_tile_engine: bool = True):
         import jax
         import jax.numpy as jnp
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -593,9 +600,16 @@ class HaloSmoother:
         self.devices = list(devices)
         D = len(self.devices)
         self.mesh_host = mesh
-        self.dtype = jnp.dtype(dtype) if dtype is not None else jnp.float32
-        if self.dtype != jnp.float32:
-            raise ValueError("tile engine is float32-only")
+        self.use_tile_engine = bool(use_tile_engine)
+        if dtype is not None:
+            self.dtype = jnp.dtype(dtype)
+        elif self.use_tile_engine:
+            self.dtype = jnp.dtype(jnp.float32)
+        else:
+            self.dtype = jnp.zeros(0).dtype     # respects jax_enable_x64
+        if self.use_tile_engine and self.dtype != jnp.float32:
+            raise ValueError("tile engine is float32-only; pass "
+                             "use_tile_engine=False for other dtypes")
 
         self.shards = build_halo_shards(mesh, D)
         sh = self.shards
@@ -606,13 +620,6 @@ class HaloSmoother:
             float((maxs[0] - mins[0]) + (maxs[1] - mins[1])
                   + (maxs[2] + mins[2])))
         self.params = params.resolve(self.stats.min_edge_length)
-        if self.params.layer_max_blending_fraction > 1e-15 and len(
-                self.params.layer_patches):
-            lids = sh.topos[0].patch_ids_matching(self.params.layer_patches)
-            if len(lids):
-                raise ValueError(
-                    "HaloSmoother is internal-smoothing only; use "
-                    "ShardedSmoother for layer/boundary runs")
 
         if normalize:
             self._center = mesh.points.mean(axis=0)
@@ -621,38 +628,48 @@ class HaloSmoother:
             self._center = np.zeros(3)
             self._scale = 1.0
 
-        interpret = jax.default_backend() != "tpu"
-        self.engine, stacked_arr = build_stacked_engines(
-            sh.topos, interpret)
-        # The halo iteration is pure iteration_body_planar: stage only
-        # the planar key set (halves per-shard device topology)
-        from smoothmesh_tpu.driver import PLANAR_TD_KEYS
-
-        tds = [to_device(t, PLANAR_TD_KEYS) for t in sh.topos]
-        tds = [{k: np.asarray(v) for k, v in td.items()} for td in tds]
-        td_stack = {k: np.stack([td[k] for td in tds]) for k in tds[0]}
-
         self.jmesh = Mesh(np.array(self.devices), ("shard",))
-        shard0 = NamedSharding(self.jmesh, P("shard"))
+        self._shard0 = NamedSharding(self.jmesh, P("shard"))
+        self._rep0 = NamedSharding(self.jmesh, P())
+        put = self._put
 
-        def put(x):
-            return jax.device_put(jnp.asarray(x), shard0)
-
-        self.td = {k: put(v) for k, v in td_stack.items()}
-        self.arrays = {k: put(v) for k, v in stacked_arr.items()}
-
-        # initial planar point state (4, W): xyz + is-internal flag
-        Wpl = planar_width(sh.n_padded_points)
         pts_n = ((sh.local_points - self._center) * self._scale)
-        p4 = np.zeros((D, 4, Wpl), np.float32)
-        for d in range(D):
-            p4[d, :3, :sh.n_padded_points] = pts_n[d].T
-            p4[d, 3, :sh.n_padded_points] = \
-                sh.topos[d].is_internal_point.astype(np.float32)
-        self.pts4 = put(p4)
-        ow = np.zeros((D, Wpl), dtype=bool)
-        ow[:, :sh.n_padded_points] = sh.owned
-        self.owned = put(ow)
+        if self.use_tile_engine:
+            interpret = jax.default_backend() != "tpu"
+            self.engine, self._stacked_arr = build_stacked_engines(
+                sh.topos, interpret)
+            # The default halo iteration is pure iteration_body_planar:
+            # stage only the planar key set (halves per-shard device
+            # topology); the dense layer/boundary path upgrades to the
+            # full dict in _activate_dense()
+            self._td_full = False
+            self.td = self._stage_td(full=False)
+            self.arrays = {k: put(v) for k, v in
+                           self._stacked_arr.items()}
+
+            # initial planar point state (4, W): xyz + is-internal flag
+            Wpl = planar_width(sh.n_padded_points)
+            p4 = np.zeros((D, 4, Wpl), np.float32)
+            for d in range(D):
+                p4[d, :3, :sh.n_padded_points] = pts_n[d].T
+                p4[d, 3, :sh.n_padded_points] = \
+                    sh.topos[d].is_internal_point.astype(np.float32)
+            self.pts4 = put(p4)
+            ow = np.zeros((D, Wpl), dtype=bool)
+            ow[:, :sh.n_padded_points] = sh.owned
+            self.owned = put(ow)
+        else:
+            # Engine-less halo driver: the dense XLA iteration per
+            # shard (any dtype/backend; the at-scale CPU artifact and
+            # the float64 oracle-parity path)
+            self.engine = None
+            self._stacked_arr = {}
+            self._td_full = True
+            self.td = self._stage_td(full=True)
+            self.arrays = {}
+            self.pts4 = None
+            self.owned = None
+        self.owned_dense = put(sh.owned)
         self.slot = put(sh.shared_slot_local.astype(np.int32))
         self.valid = put(sh.shared_valid)
         self.owner_is_me = put(sh.shared_owner_is_me)
@@ -661,13 +678,186 @@ class HaloSmoother:
         self.iter_batch = int(
             __import__("os").environ.get("SMOOTHMESH_ITER_BATCH", "16"))
         self._batch = None
+        self._batch_dense = None
         self._iteration = 0
 
-    def enable_boundary_smoothing(self, *args, **kwargs):
-        raise NotImplementedError(
-            "HaloSmoother is internal-smoothing only; construct the "
-            "sharded driver with use_tile_engine=False (ShardedSmoother) "
-            "for boundary point smoothing")
+        # Layer / boundary state (dense iteration path)
+        N = sh.n_padded_points
+        self._dense = False
+        self.points_dense = None
+        self.layer = None
+        self.bnd = None
+        self.layer_maps = None
+        self._setup_topo = None
+        self._bnd_shard = {}
+        self._bnd_rep = {}
+        self._bnd_scalars = {}
+        self.do_boundary_smoothing = False
+        npdt = np.dtype(self.dtype)
+        self.normals = put(np.zeros((D, N, 3), npdt))
+        self.smoothing_surface = put(np.zeros((D, N), dtype=bool))
+        layer_ids = sh.topos[0].patch_ids_matching(
+            self.params.layer_patches)
+        if (len(layer_ids)
+                and self.params.layer_max_blending_fraction > 1e-15):
+            from smoothmesh_tpu.parallel import scatter
+
+            self._setup_maps()
+            g2ls = scatter.g2l_maps(sh.l2g, mesh.n_points)
+            layer_host, ninit = scatter.scatter_layer_maps(
+                self.layer_maps, sh.l2g, g2ls, N)
+            self.layer = {k: put(v) for k, v in layer_host.items()}
+            self.normals = put(ninit.astype(npdt))
+            self._activate_dense()
+            self._free_global_setup()
+        if not self.use_tile_engine:
+            self._activate_dense()
+
+    # -- device staging helpers ---------------------------------------------
+    def _put(self, x):
+        import jax
+        import jax.numpy as jnp
+
+        return jax.device_put(jnp.asarray(x), self._shard0)
+
+    def _put_rep(self, x, dtype=None):
+        import jax
+        import jax.numpy as jnp
+
+        return jax.device_put(jnp.asarray(x, dtype=dtype), self._rep0)
+
+    def _stage_td(self, full: bool):
+        import numpy as np
+
+        from smoothmesh_tpu.device import to_device
+        from smoothmesh_tpu.driver import PLANAR_TD_KEYS
+
+        keys = None if full else PLANAR_TD_KEYS
+        tds = [to_device(t, keys) for t in self.shards.topos]
+        tds = [{k: np.asarray(v) for k, v in td.items()} for td in tds]
+        td_stack = {k: np.stack([td[k] for td in tds]) for k in tds[0]}
+        self._td_full = full
+        return {k: self._put(v) for k, v in td_stack.items()}
+
+    # -- one-time global setup (layer maps / boundary classification) -------
+    def _global_setup(self):
+        """Transient GLOBAL topology for one-time setup (hop BFS,
+        prismatic maps, boundary classification — reference
+        src/smoothMesh.C:2190-2230).  Freed after setup: the
+        per-iteration path and quality() stay global-topology-free."""
+        if self._setup_topo is None:
+            self._setup_topo = compile_topology(self.mesh_host)
+        return self._setup_topo
+
+    def _free_global_setup(self):
+        self._setup_topo = None
+
+    def _setup_maps(self):
+        if self.layer_maps is not None:
+            return
+        from smoothmesh_tpu import layers as lay
+
+        topo = self._global_setup()
+        bn, sharp = lay.boundary_point_normals_np(
+            self.mesh_host.points, topo)
+        layer_ids = topo.patch_ids_matching(self.params.layer_patches)
+        smoothing_ids = topo.patch_ids_matching(
+            self.params.smoothing_patches)
+        self.layer_maps = lay.build_layer_maps(
+            topo, bn, sharp, layer_ids, smoothing_ids,
+            self.params.max_layers)
+
+    def _activate_dense(self):
+        """Switch the carried state to the dense per-shard layout used
+        by the layer/boundary (and engine-less) iteration
+        (driver.iteration_body)."""
+        import numpy as np
+
+        if not self._td_full:
+            self.td = self._stage_td(full=True)
+        if not self._dense:
+            if self.pts4 is not None:
+                lp = self.points    # planar -> (D, N, 3) np, normalized
+            else:
+                lp = ((self.shards.local_points - self._center)
+                      * self._scale)
+            self.points_dense = self._put(
+                np.asarray(lp, np.dtype(self.dtype)))
+            self._dense = True
+        self._batch_dense = None
+
+    def enable_boundary_smoothing(
+        self, surf_vertices, surf_tris, init_edge_points, init_edges,
+        target_edge_points=None, target_edges=None,
+        checkpoint_corner=None, checkpoint_feature=None,
+    ):
+        """Halo-sharded boundary point smoothing: classification runs
+        once globally on host (reference classifyBoundaryPoints,
+        bPS.C:269-441), restricted per shard; per-iteration projections
+        are shard-local for owned points (complete stencils) with one
+        proposal consensus (HaloDenseSync)."""
+        import numpy as np
+
+        from smoothmesh_tpu import boundary as bps
+        from smoothmesh_tpu.parallel import scatter
+
+        mesh = self.mesh_host
+        sh = self.shards
+        N = sh.n_padded_points
+        if target_edge_points is None:
+            target_edge_points, target_edges = init_edge_points, init_edges
+        bps.check_edge_mesh_sanity(init_edge_points, init_edges,
+                                   self.stats.min_edge_length,
+                                   self.stats.perimeter)
+        bps.check_edge_mesh_sanity(target_edge_points, target_edges,
+                                   self.stats.min_edge_length,
+                                   self.stats.perimeter)
+        self._setup_maps()
+        topo = self._global_setup()
+        layer_ids = topo.patch_ids_matching(self.params.layer_patches)
+        smoothing_ids = topo.patch_ids_matching(
+            self.params.smoothing_patches)
+        setup = bps.classify_boundary_points(
+            topo, init_edge_points, init_edges,
+            target_edge_points, target_edges, surf_vertices, surf_tris,
+            layer_ids, smoothing_ids, mesh.points,
+            self.params.distance_tolerance,
+            checkpoint_corner=checkpoint_corner,
+            checkpoint_feature=checkpoint_feature)
+        self.boundary_setup = setup
+
+        def t(x):
+            return ((np.asarray(x, dtype=np.float64) - self._center)
+                    * self._scale)
+
+        g2ls = scatter.g2l_maps(sh.l2g, mesh.n_points)
+        bnd_sh, bnd_rep, scalars = scatter.scatter_boundary_setup(
+            setup, self.layer_maps, sh.l2g, g2ls, sh.topos, N, t,
+            self._scale)
+        put, put_rep = self._put, self._put_rep
+        npdt = np.dtype(self.dtype)
+        self._bnd_shard = {
+            k: put(v.astype(npdt) if v.dtype == np.float64 else v)
+            for k, v in bnd_sh.items()}
+        self._bnd_rep = {
+            k: put_rep(v, npdt if v.dtype == np.float64 else None)
+            for k, v in bnd_rep.items()}
+        if npdt == np.float32:
+            from smoothmesh_tpu.ops.raycast import pack_triangles
+
+            self._bnd_rep["tri_packed"] = put_rep(pack_triangles(
+                t(setup.surf_tri_a), t(setup.surf_tri_b),
+                t(setup.surf_tri_c)))
+        self._bnd_scalars = scalars
+        self.bnd = self._bnd_shard
+        self.smoothing_surface = put(bnd_sh["smoothing_surface"])
+        ninit = scatter.restrict_vectors(
+            self.layer_maps.normals_init, sh.l2g, N)
+        self.normals = put(ninit.astype(npdt))
+        self.do_boundary_smoothing = True
+        self._activate_dense()
+        self._free_global_setup()
+        return setup
 
     # -- jitted batched step ------------------------------------------------
     def _build_batch(self):
@@ -729,6 +919,137 @@ class HaloSmoother:
         )
         return jax.jit(sm)
 
+    def _build_batch_dense(self):
+        """B dense iterations per dispatch under shard_map — the
+        layer/boundary path (driver.iteration_body per shard with
+        halo-consensus sync)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        from smoothmesh_tpu.driver import iteration_body
+        from smoothmesh_tpu.parallel.sync import HaloDenseSync
+
+        p = self.params
+        s = self._scale
+        chunk = self.face_angle_chunk
+        engine = self.engine
+        B = self.iter_batch
+        do_boundary = self.do_boundary_smoothing
+        has_layer = self.layer is not None
+        has_bnd = bool(self._bnd_shard)
+        dist_tol = self._bnd_scalars.get("distance_tolerance", 0.0)
+        n_tri = self._bnd_scalars.get("n_tri", 0)
+        fatal_miss = bool(p.ray_miss_fatal) and has_bnd
+
+        td_specs = {k: P("shard") for k in self.td}
+        arr_specs = {k: P("shard") for k in self.arrays}
+        layer = self.layer or {}
+        layer_specs = {k: P("shard") for k in layer}
+        bnd_sh = self._bnd_shard
+        bnd_rep = self._bnd_rep
+        bnd_sh_specs = {k: P("shard") for k in bnd_sh}
+        bnd_rep_specs = {k: P() for k in bnd_rep}
+
+        def local_batch(points, normals, smoothing_surface, td, arr,
+                        layer_blk, bnd_sh_blk, bnd_rep_blk, slot, valid,
+                        own, owned, n_valid):
+            sync = HaloDenseSync(slot[0], valid[0], own[0], owned[0])
+            tdl = {k: v[0] for k, v in td.items()}
+            arrl = {k: v[0] for k, v in arr.items()}
+            layer_loc = ({k: v[0] for k, v in layer_blk.items()}
+                         if has_layer else None)
+            bnd_loc = None
+            if has_bnd:
+                bnd_loc = {k: v[0] for k, v in bnd_sh_blk.items()}
+                bnd_loc.update(bnd_rep_blk)
+                bnd_loc["distance_tolerance"] = dist_tol
+                bnd_loc["n_tri"] = n_tri
+
+            def body(i, state):
+                pts, norms, done, o_res, o_nf, o_nm, o_ran = state
+                np_, nn, res, nf, nm = iteration_body(
+                    pts, smoothing_surface[0], norms, tdl, p, s,
+                    do_boundary, layer=layer_loc, bnd=bnd_loc,
+                    sync=sync, chunk=chunk, engine=engine,
+                    engine_arrays=arrl, owned=owned[0])
+                stop = res < p.rel_tol
+                if fatal_miss:
+                    stop = stop | (nm > 0)
+                skip = done | (i >= n_valid)
+                zero = jnp.asarray(0, jnp.int32)
+                return (jnp.where(skip, pts, np_),
+                        jnp.where(skip, norms, nn),
+                        jnp.where(skip, done, stop),
+                        o_res.at[i].set(jnp.where(
+                            skip, jnp.nan, res).astype(points.dtype)),
+                        o_nf.at[i].set(jnp.where(
+                            skip, zero, nf.astype(jnp.int32))),
+                        o_nm.at[i].set(jnp.where(
+                            skip, zero, nm.astype(jnp.int32))),
+                        o_ran.at[i].set(~skip))
+
+            init = (points[0], normals[0], jnp.asarray(False),
+                    jnp.zeros(B, points.dtype), jnp.zeros(B, jnp.int32),
+                    jnp.zeros(B, jnp.int32), jnp.zeros(B, bool))
+            pts, norms, _, o_res, o_nf, o_nm, o_ran = jax.lax.fori_loop(
+                0, B, body, init)
+            return (pts[None], norms[None], o_res[None], o_nf[None],
+                    o_nm[None], o_ran[None])
+
+        sm = jax.shard_map(
+            local_batch,
+            mesh=self.jmesh,
+            in_specs=(P("shard"), P("shard"), P("shard"), td_specs,
+                      arr_specs, layer_specs, bnd_sh_specs,
+                      bnd_rep_specs, P("shard"), P("shard"), P("shard"),
+                      P("shard"), P()),
+            out_specs=(P("shard"),) * 6,
+            check_vma=False,
+        )
+        return jax.jit(sm)
+
+    def _steps_dense(self, n: int):
+        import time
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from smoothmesh_tpu.driver import RAY_MISS_MSG, StepResult
+
+        if self._batch_dense is None:
+            self._batch_dense = self._build_batch_dense()
+        results = []
+        p = self.params
+        while n > 0:
+            n_valid = min(n, self.iter_batch)
+            t0 = time.time()
+            pts, norms, res, nf, nm, ran = self._batch_dense(
+                self.points_dense, self.normals, self.smoothing_surface,
+                self.td, self.arrays, self.layer or {},
+                self._bnd_shard, self._bnd_rep,
+                self.slot, self.valid, self.owner_is_me,
+                self.owned_dense, jnp.asarray(n_valid, jnp.int32))
+            res = np.asarray(res)[0]          # host sync
+            wall = (time.time() - t0) * 1e3
+            nf = np.asarray(nf)[0]
+            nm = np.asarray(nm)[0]
+            k = int(np.asarray(ran)[0].sum())
+            self.points_dense = pts
+            self.normals = norms
+            for i in range(k):
+                self._iteration += 1
+                results.append(StepResult(
+                    self._iteration, float(res[i]), int(nf[i]),
+                    wall / max(k, 1), int(nm[i])))
+            if p.ray_miss_fatal and k and nm[:k].sum():
+                raise RuntimeError(RAY_MISS_MSG.format(
+                    n=int(nm[:k].max())))
+            if k == 0 or res[k - 1] < p.rel_tol:
+                break
+            n -= k
+        return results
+
     def steps(self, n: int):
         import time
 
@@ -737,6 +1058,8 @@ class HaloSmoother:
 
         from smoothmesh_tpu.driver import StepResult
 
+        if self._dense:
+            return self._steps_dense(n)
         if self._batch is None:
             self._batch = self._build_batch()
         results = []
@@ -827,6 +1150,8 @@ class HaloSmoother:
         """(D, Npad, 3) local point blocks (normalized coords)."""
         import numpy as np
 
+        if self._dense:
+            return np.asarray(self.points_dense)
         p4 = np.asarray(self.pts4)
         return np.transpose(
             p4[:, :3, :self.shards.n_padded_points], (0, 2, 1))

@@ -102,20 +102,13 @@ class ShardedSmoother:
                 self._global_topo, bn, sharp, layer_ids, smoothing_ids,
                 self.params.max_layers)
             self.layer_maps = maps
-            Npad = self.shards.n_padded_points
-            hops = np.full((D, Npad), -1, dtype=np.int32)
-            omap = np.full((D, Npad), -1, dtype=np.int32)
-            ninit = np.zeros((D, Npad, 3), dtype=np.float64)
-            for d, gids in enumerate(self.shards.local_to_global):
-                n = len(gids)
-                g2l = np.full(mesh.n_points, -1, dtype=np.int64)
-                g2l[gids] = np.arange(n)
-                hops[d, :n] = maps.hops_layer[gids]
-                tgt = maps.outer_map[gids]
-                omap[d, :n] = np.where(tgt >= 0, g2l[np.maximum(tgt, 0)],
-                                       -1)
-                ninit[d, :n] = maps.normals_init[gids]
-            self.layer = {"hops_layer": put(hops), "outer_map": put(omap)}
+            from smoothmesh_tpu.parallel import scatter
+
+            l2gs = self.shards.local_to_global
+            g2ls = scatter.g2l_maps(l2gs, mesh.n_points)
+            layer_host, ninit = scatter.scatter_layer_maps(
+                maps, l2gs, g2ls, self.shards.n_padded_points)
+            self.layer = {k: put(v) for k, v in layer_host.items()}
             self.normals = put(ninit.astype(self.dtype))
 
         self._step = self._build_step()
@@ -278,40 +271,19 @@ class ShardedSmoother:
             checkpoint_feature=checkpoint_feature)
         self.boundary_setup = setup
 
-        D = self.shards.n_shards
+        from smoothmesh_tpu.parallel import scatter
+
         Npad = self.shards.n_padded_points
-        t = lambda x: ((np.asarray(x, dtype=np.float64) - self._center)
-                       * self._scale)
-        s = self._scale
 
-        def restrict_flags(glob, fill=False):
-            out = np.full((D, Npad), fill, dtype=np.asarray(glob).dtype)
-            for d, gids in enumerate(self.shards.local_to_global):
-                out[d, :len(gids)] = glob[gids]
-            return out
+        def t(x):
+            return ((np.asarray(x, dtype=np.float64) - self._center)
+                    * self._scale)
 
-        corner_t = np.full((D, Npad, 3), 1e18)
-        inner = np.full((D, Npad), -1, dtype=np.int32)
-        W = self.shards.stacked["point_points"].shape[2]
-        feat_n = np.zeros((D, Npad, W), dtype=np.int32)
-        feat_m = np.zeros((D, Npad, W), dtype=bool)
-        for d, gids in enumerate(self.shards.local_to_global):
-            n = len(gids)
-            corner_t[d, :n] = t(setup.corner_targets[gids])
-            g2l = np.full(mesh.n_points, -1, dtype=np.int64)
-            g2l[gids] = np.arange(n)
-            tgt = maps.inner_map[gids]
-            inner[d, :n] = np.where(tgt >= 0, g2l[np.maximum(tgt, 0)], -1)
-            # feature neighbours from LOCAL adjacency + global flags
-            lt = self.shards.topos[d]
-            pp = lt.point_points
-            ppm = lt.point_points_mask
-            gpp = gids[pp]
-            ok = (ppm & ~lt.is_internal_point[pp]
-                  & ~setup.is_feature_edge[gpp] & ~setup.is_corner[gpp]
-                  & setup.is_feature_edge[gids][:, None])
-            feat_n[d, :n, :pp.shape[1]] = np.where(ok, pp, 0)
-            feat_m[d, :n, :pp.shape[1]] = ok
+        l2gs = self.shards.local_to_global
+        g2ls = scatter.g2l_maps(l2gs, mesh.n_points)
+        bnd_sh, bnd_rep, scalars = scatter.scatter_boundary_setup(
+            setup, maps, l2gs, g2ls, self.shards.topos, Npad, t,
+            self._scale)
 
         shard0 = NamedSharding(self.jmesh, P("shard"))
         rep0 = NamedSharding(self.jmesh, P())
@@ -323,67 +295,23 @@ class ShardedSmoother:
             return jax.device_put(
                 jnp.asarray(x, dtype=dtype), rep0)
 
+        npdt = np.dtype(self.dtype)
         self.bnd = {
-            "is_corner": put(restrict_flags(setup.is_corner)),
-            "is_feature_edge": put(restrict_flags(setup.is_feature_edge)),
-            "is_smoothing_surface": put(
-                restrict_flags(setup.is_smoothing_surface)),
-            "is_connected": put(restrict_flags(setup.is_connected)),
-            "smoothing_surface": put(
-                restrict_flags(setup.is_smoothing_surface)),
-            "point_strings": put(
-                restrict_flags(setup.point_strings, fill=-1).astype(
-                    np.int32)),
-            "corner_targets": put(corner_t.astype(self.dtype)),
-            "inner_map": put(inner),
-            "feat_neigh": put(feat_n),
-            "feat_neigh_mask": put(feat_m),
-            # replicated target geometry
-            "edge_a": put_rep(
-                t(setup.target_edge_points[setup.target_edges[:, 0]]),
-                self.dtype),
-            "edge_b": put_rep(
-                t(setup.target_edge_points[setup.target_edges[:, 1]]),
-                self.dtype),
-            "edge_strings": put_rep(setup.target_edge_strings, jnp.int32),
-            "tri_a": put_rep(t(setup.surf_tri_a), self.dtype),
-            "tri_b": put_rep(t(setup.surf_tri_b), self.dtype),
-            "tri_c": put_rep(t(setup.surf_tri_c), self.dtype),
-            "distance_tolerance": float(setup.distance_tolerance * s),
-            "n_tri": len(setup.surf_tri_a),
-        }
+            k: put(v.astype(npdt) if v.dtype == np.float64 else v)
+            for k, v in bnd_sh.items()}
+        self.bnd.update({
+            k: put_rep(v, npdt if v.dtype == np.float64 else None)
+            for k, v in bnd_rep.items()})
+        self.bnd.update(scalars)
         if self.dtype == jnp.float32:
             from smoothmesh_tpu.ops.raycast import pack_triangles
 
             self.bnd["tri_packed"] = put_rep(pack_triangles(
                 t(setup.surf_tri_a), t(setup.surf_tri_b),
                 t(setup.surf_tri_c)))
-        # Static compaction sets (see driver.enable_boundary_smoothing):
-        # per-shard candidate rows padded to a common width with Npad
-        # (dropped on scatter-back)
-        internal_sh = self.shards.stacked["is_internal_point"]
-        cand = (np.asarray(restrict_flags(setup.is_smoothing_surface))
-                & ~internal_sh
-                & ~np.asarray(restrict_flags(setup.is_corner))
-                & ~np.asarray(restrict_flags(setup.is_feature_edge)))
-        featp = feat_m.any(axis=2)
-
-        def rows_of(masks):
-            rs = [np.where(m)[0] for m in masks]
-            width = -(-max(max(map(len, rs)), 1) // 128) * 128 + 128
-            out = np.full((D, width), Npad, dtype=np.int32)
-            for d, r in enumerate(rs):
-                out[d, :len(r)] = r
-            return put(out)
-
-        self.bnd["surf_rows"] = rows_of(cand)
-        self.bnd["feat_rows"] = rows_of(featp)
-        self.smoothing_surface = put(
-            restrict_flags(setup.is_smoothing_surface))
+        self.smoothing_surface = put(bnd_sh["smoothing_surface"])
         # normals state needs the propagated initial normals
-        ninit = np.zeros((D, Npad, 3))
-        for d, gids in enumerate(self.shards.local_to_global):
-            ninit[d, :len(gids)] = maps.normals_init[gids]
+        ninit = scatter.restrict_vectors(maps.normals_init, l2gs, Npad)
         self.normals = put(ninit.astype(self.dtype))
         self.do_boundary_smoothing = True
         self._step = self._build_step()

@@ -207,3 +207,57 @@ class PointSync:
 
     def all_sum(self, x):
         return jax.lax.psum(x, self.axis)
+
+
+class HaloDenseSync(PointSync):
+    """PointSync with OVERLAP (halo) decomposition semantics, for the
+    dense ``iteration_body`` under the halo-sharded driver
+    (parallel/halo.py).
+
+    Every owned point's smoothing stencil is locally complete (the halo
+    invariant), so the partial-sum / min-candidate combines of the
+    disjoint decomposition all reduce to OWNER CONSENSUS: the owner's
+    local result is already the exact global value, and replicated
+    copies simply adopt it.  Freeze ORs inherit the plain
+    ``PointSync.or_`` (reference orEqOp, src/smoothMesh.C:2374-2380):
+    the caller masks stage-S decisions to owned points (replica
+    stencils are incomplete there), while face-angle NEIGHBOR freezes
+    (a shard may freeze a replica it doesn't own, reference stack
+    semantics :1389-1419) must survive the combine unmasked.
+    """
+
+    def __init__(self, slot_local, valid, owner_is_me, owned,
+                 axis: str = "shard"):
+        super().__init__(slot_local, valid, owner_is_me, axis=axis)
+        self.owned = owned
+
+    def sum(self, field):
+        return self.consensus(field)
+
+    def max(self, field, null):
+        return self.consensus(field)
+
+    def min_mag_sqr(self, field):
+        return self.consensus(field)
+
+    def max_mag_sqr(self, field):
+        return self.consensus(field)
+
+    def closest_points(self, c1, c2, c3, has_common):
+        """The owner's local closest-point chain is already the global
+        result (complete pointPoints); replicas adopt it wholesale —
+        no shift-down merge needed."""
+        return (self.consensus(c1), self.consensus(c2),
+                self.consensus(c3), self.consensus(has_common))
+
+    def consensus(self, field):
+        v = self._gather(field, jnp.zeros((), field.dtype))
+        mask = self.owner_is_me
+        if v.ndim > mask.ndim:
+            mask = mask[:, None]
+        zero = jnp.zeros((), field.dtype)
+        tot = jax.lax.psum(
+            jnp.where(mask, v, zero).astype(
+                jnp.float32 if field.dtype == jnp.bool_ else field.dtype),
+            self.axis)
+        return self._scatter(field, tot.astype(field.dtype))

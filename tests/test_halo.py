@@ -75,6 +75,100 @@ def test_halo_freeze_free_4shards_improves_quality():
     assert q["min_face_angle_deg"] > q0["min_face_angle_deg"]
 
 
+def test_halo_engineless_matches_serial_xla():
+    """The engine-less dense halo path (float64 XLA per shard +
+    consensus sync) against the serial float64 XLA driver — the
+    at-scale CPU artifact's configuration (experiments/halo216.py)."""
+    mesh = _mesh()
+    params = SmoothingParams(centroidal_iters=4, rel_tol=0.0)
+    serial = Smoother(mesh, params)          # float64 XLA path
+    rs = [serial.step() for _ in range(4)]
+    ref = serial.denormalize()
+
+    hs = HaloSmoother(mesh, params, n_devices=3, use_tile_engine=False)
+    assert hs.engine is None and hs._dense
+    rh = hs.steps(4)
+    out = hs.denormalize()
+
+    assert len(rh) == len(rs)
+    for a, b in zip(rs, rh):
+        assert a.n_frozen == b.n_frozen
+        assert a.residual == pytest.approx(b.residual, rel=1e-9)
+    assert np.abs(out - ref).max() < 1e-11
+
+
+def test_halo_layer_treatment_matches_serial_engine():
+    m = perturb(
+        hex_block(n=(5, 5, 6), grading=(1.0, 1.0, 3.0),
+                  patches={"walls": ["zmin"],
+                           "outer": ["xmin", "xmax", "ymin", "ymax",
+                                     "zmax"]}),
+        0.02, seed=4)
+    # Explicit generous max_step_length keeps the predictor's internal
+    # limiter inactive: the layer path's SECOND constrainMaxStepLength
+    # call is discontinuous at |step| == maxStepLength (reference
+    # smoothMesh.C:684-754 quirk), and predictor-limited points land
+    # exactly on that knife-edge, where f32 summation-order noise
+    # between decompositions flips the branch (reference MPI runs have
+    # the same decomposition sensitivity).
+    params = SmoothingParams(centroidal_iters=8, rel_tol=0.0,
+                             layer_patches=("walls",),
+                             layer_edge_length=0.04, max_layers=3,
+                             max_step_length=0.5)
+    rs, ref = _run_serial(m, params, 8)
+
+    hs = HaloSmoother(m, params, n_devices=2)
+    assert hs.layer is not None
+    rh = hs.steps(8)
+    out = hs.denormalize()
+
+    assert len(rh) == len(rs)
+    for a, b in zip(rs, rh):
+        assert a.n_frozen == b.n_frozen
+        assert a.residual == pytest.approx(b.residual, rel=1e-4, abs=1e-5)
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() < 1e-5 * scale
+
+
+def test_halo_boundary_smoothing_matches_serial_engine():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_boundary import _dome_fixture
+
+    m, dome_z, V, tris, bpts, bedges = _dome_fixture()
+    # Full default constraints stay ON: the halo invariant (complete
+    # owned stencils + rank-local fixed point + one OR) matches the
+    # serial engine exactly on this mesh, unlike the disjoint sharded
+    # driver whose boundary parity test must disable freezes.
+    # max_step_length generous for the same knife-edge reason as the
+    # layer test above (boundary mode also stacks limiter calls)
+    params = SmoothingParams(centroidal_iters=6, rel_tol=0.0,
+                             smoothing_patches=("top",),
+                             min_angle=15.0, max_step_length=0.5)
+    serial = Smoother(m, params, dtype=np.float32, use_tile_engine=True)
+    serial.enable_boundary_smoothing(V, tris, bpts, bedges)
+    rs = serial.steps(6)
+    ref = serial.denormalize()
+
+    hs = HaloSmoother(m, params, n_devices=4)
+    setup = hs.enable_boundary_smoothing(V, tris, bpts, bedges)
+    assert np.array_equal(setup.is_corner,
+                          serial.boundary_setup.is_corner)
+    rh = hs.steps(6)
+    out = hs.denormalize()
+
+    assert len(rh) == len(rs)
+    for a, b in zip(rs, rh):
+        assert a.n_frozen == b.n_frozen
+        assert a.residual == pytest.approx(b.residual, rel=1e-4, abs=1e-5)
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() < 2e-5 * scale
+    # the dome actually morphed: top-centre points moved up
+    assert out[:, 2].max() > m.points[:, 2].max() + 0.05
+
+
 def test_halo_quality_per_shard_matches_global():
     """quality() assembles from per-shard claimed entities — no global
     topology compile — and must agree with the global computation."""
@@ -110,5 +204,8 @@ def test_smoother_dispatches_to_halo_on_engine_request():
     sm = Smoother(mesh, SmoothingParams(centroidal_iters=2, rel_tol=0.0),
                   n_devices=2, use_tile_engine=True)
     assert isinstance(sm, HaloSmoother)
-    with pytest.raises(NotImplementedError):
-        sm.enable_boundary_smoothing(None, None, None, None)
+    # full surface API: boundary smoothing is supported on the halo
+    # driver since round 4 (exercised by
+    # test_halo_boundary_smoothing_matches_serial_engine)
+    assert callable(sm.enable_boundary_smoothing)
+    assert sm.layer is None and not sm.do_boundary_smoothing

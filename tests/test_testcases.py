@@ -51,6 +51,46 @@ def test_case_runs_and_mesh_valid(name):
         assert res2.iteration <= res.iteration or res2.residual <= res.residual
 
 
+@pytest.mark.parametrize(
+    "name,n_devices",
+    [(n, 3) for n in sorted(tcs.ALL)]
+    + [("tc2", 8), ("tc3", 8), ("tc4", 8)])
+def test_case_sharded_runs_and_mesh_valid(name, n_devices):
+    """The reference runs every testcase under mpirun -np 3 AND serial
+    (run_tests.sh:25-38); this is the mpirun leg — real testcase
+    geometry x the sharded driver, validated with the same checkMesh
+    oracle.  The three at 8 devices cover the stress (tc3), full
+    boundary trio (tc4) and layer (tc2) pipelines at higher shard
+    counts."""
+    tc = tcs.ALL[name]()
+    sm = Smoother(tc.mesh, tc.params, n_devices=n_devices)
+    if tc.geometry is not None:
+        V, tris, ipts, iedges, tpts, tedges = tc.geometry
+        sm.enable_boundary_smoothing(V, tris, ipts, iedges, tpts, tedges)
+    res = sm.run(log=None)
+    assert np.isfinite(res.residual)
+    rep = sm.quality()
+    assert rep["n_negative_volumes"] == 0, (name, rep)
+    assert rep["max_non_ortho_deg"] < tc.max_non_ortho, (name, rep)
+    assert rep["max_skewness"] < 4.0, (name, rep)
+
+
+def test_tc3_sharded_halo_engineless_quality():
+    """The stress case on the HALO decomposition (engine-less float64
+    path — the same configuration as the 10M-cell CPU artifact)."""
+    from smoothmesh_tpu.parallel.halo import HaloSmoother
+
+    tc = tcs.ALL["tc3"]()
+    sm = HaloSmoother(tc.mesh, tc.params, n_devices=3,
+                      use_tile_engine=False)
+    res = sm.run(log=None)
+    assert np.isfinite(res.residual)
+    rep = sm.quality()
+    assert rep["n_negative_volumes"] == 0
+    assert rep["max_non_ortho_deg"] < tc.max_non_ortho
+    assert rep["max_skewness"] < 4.0
+
+
 def test_tc3_concave_improves_min_angle():
     tc = tcs.tc3()
     sm, res = _run(tc)
