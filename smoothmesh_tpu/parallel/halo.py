@@ -1189,6 +1189,7 @@ class HaloSmoother:
         s = self._scale
         for k in ("min_edge_length", "max_edge_length"):
             rep[k] /= s
-        for k in ("min_volume", "max_volume", "total_volume"):
+        for k in ("min_volume", "max_volume", "total_volume",
+                  "min_pyramid_volume"):
             rep[k] /= s ** 3
         return rep

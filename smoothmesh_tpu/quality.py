@@ -106,12 +106,44 @@ def quality_report_parts(points, td, face_claim=None, edge_claim=None,
     if edge_claim is not None:
         elen = jnp.where(edge_claim, elen, jnp.nan)
 
+    # Cell closedness + aspect ratio (OpenFOAM checkMesh
+    # primitiveMeshCheck: checkClosedCells).  Openness = |net signed
+    # face-area sum| / total face area; aspect = (1/6) total face area
+    # / V^(2/3) (== 1 for a cube).
+    cf = td["cell_faces"]
+    cfm = td["cell_faces_mask"]
+    cell_ids = jnp.arange(cf.shape[0], dtype=cf.dtype)[:, None]
+    sign = jnp.where(td["owner"][cf] == cell_ids, 1.0, -1.0).astype(dtype)
+    fa_c = fg.areas[cf]                             # (C, W, 3)
+    m = cfm[..., None].astype(dtype)
+    net = jnp.sum(sign[..., None] * fa_c * m, axis=1)
+    tot = jnp.sum(fg.mags[cf] * cfm.astype(dtype), axis=1)
+    openness = jnp.linalg.norm(net, axis=-1) / jnp.maximum(tot, VSMALL)
+    aspect = (tot / 6.0) / jnp.maximum(vols, VSMALL) ** (2.0 / 3.0)
+    if cell_claim is not None:
+        openness = jnp.where(cell_claim, openness, 0.0)
+        aspect = jnp.where(cell_claim, aspect, 0.0)
+
+    # Face pyramid volumes (checkFacePyramids): owner-side pyramid
+    # positive, neighbour-side negative
+    pyr_own = jnp.sum(fg.areas * (fg.centres - own_c), axis=-1) / 3.0
+    pyr_nei = -jnp.sum(fg.areas * (fg.centres - nei_c), axis=-1) / 3.0
+    fvalid = td["face_mask"].any(axis=1)
+    if face_claim is not None:
+        fvalid = fvalid & face_claim
+    pyr = jnp.where(fvalid, pyr_own, jnp.inf)
+    pyr = jnp.minimum(pyr, jnp.where(
+        fvalid & td["has_neighbour"], pyr_nei, jnp.inf))
+
     if cell_claim is not None:
         vols = jnp.where(cell_claim, vols, jnp.nan)
     vol_valid = ~jnp.isnan(vols)
     e_valid = ~jnp.isnan(elen)
 
     return {
+        "max_aspect_ratio": float(jnp.max(aspect)),
+        "max_cell_openness": float(jnp.max(openness)),
+        "min_pyramid_volume": float(jnp.min(pyr)),
         "min_face_angle_deg": float(jnp.degrees(jnp.min(emin))),
         "max_face_angle_deg": float(jnp.degrees(jnp.max(emax))),
         "max_non_ortho_deg": float(jnp.max(nonortho)),
@@ -141,6 +173,9 @@ def combine_quality_parts(parts) -> Dict[str, float]:
 
     n_int = sm("n_internal_faces")
     return {
+        "max_aspect_ratio": mx("max_aspect_ratio"),
+        "max_cell_openness": mx("max_cell_openness"),
+        "min_pyramid_volume": mn("min_pyramid_volume"),
         "min_face_angle_deg": mn("min_face_angle_deg"),
         "max_face_angle_deg": mx("max_face_angle_deg"),
         "max_non_ortho_deg": mx("max_non_ortho_deg"),
@@ -161,13 +196,19 @@ def quality_report(points, td) -> Dict[str, float]:
 
 
 def check_mesh(points, td, max_non_ortho: float = 70.0,
-               max_skew: float = 4.0) -> Dict[str, object]:
+               max_skew: float = 4.0, max_aspect: float = 1000.0,
+               max_openness: float = 1e-6) -> Dict[str, object]:
     """checkMesh-style pass/fail verdict with the standard OpenFOAM
-    thresholds (non-orthogonality 70 deg, skewness 4)."""
+    thresholds: non-orthogonality 70 deg, skewness 4, aspect ratio
+    1000, cell openness 1e-6 (closedThreshold_), face pyramids
+    positive (checkFacePyramids)."""
     rep = quality_report(points, td)
     ok = (
         rep["n_negative_volumes"] == 0
         and rep["max_non_ortho_deg"] < max_non_ortho
         and rep["max_skewness"] < max_skew
+        and rep["max_aspect_ratio"] < max_aspect
+        and rep["max_cell_openness"] < max_openness
+        and rep["min_pyramid_volume"] > 0.0
     )
     return {"ok": bool(ok), **rep}

@@ -112,3 +112,31 @@ def test_boundary_point_normals_cube():
     assert np.allclose(n[4], [0, 0, 1])                  # zmin side centre
     assert nf[13] == 0 and np.allclose(n[13], 0)         # internal point
     assert not np.any(np.asarray(sharp))
+
+
+def test_checkmesh_aspect_openness_pyramids_cube():
+    """OpenFOAM checkMesh's closedness / aspect-ratio / face-pyramid
+    metrics (primitiveMeshCheck) on an analytic cube lattice: aspect
+    ratio exactly 1, perfectly closed cells, pyramid volume =
+    face_area * (spacing/2) / 3."""
+    from smoothmesh_tpu.quality import check_mesh, quality_report
+
+    m = hex_block(n=(4, 4, 4))          # 0.25-edge cubes
+    td = to_device(compile_topology(m))
+    rep = quality_report(jnp.asarray(m.points), td)
+    assert abs(rep["max_aspect_ratio"] - 1.0) < 1e-12
+    assert rep["max_cell_openness"] < 1e-12
+    expected_pyr = 0.25 ** 2 * 0.125 / 3.0
+    assert abs(rep["min_pyramid_volume"] - expected_pyr) < 1e-12
+    assert check_mesh(jnp.asarray(m.points), td)["ok"]
+
+    # a collapsed cell flips a pyramid negative and fails the verdict
+    bad = m.points.copy()
+    # push one interior point through the opposite face of its cell
+    interior = np.where(
+        (np.abs(bad - 0.5).max(axis=1) < 0.26)
+        & (np.abs(bad - 0.5).max(axis=1) > 0.2))[0]
+    bad[interior[0]] += 0.4
+    rep2 = check_mesh(jnp.asarray(bad), td)
+    assert rep2["min_pyramid_volume"] < 0.0
+    assert not rep2["ok"]
