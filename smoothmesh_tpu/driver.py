@@ -332,7 +332,7 @@ def iteration_body_planar(pts4, td, params: SmoothingParams, scale: float,
     # reverts EVERY point, leaving the carry bit-identical — this is
     # free, whereas a select on the carry after the fact measured
     # +17 ms/iteration (experiments/batchoverhead.py).
-    revert = frozen | (arr["p_intern_w"][0] < 0.5)
+    revert = frozen | (arr["p_flags_w"][0] < 0.5)
     if skip is not None:
         revert = revert | skip
     new3 = jnp.where(revert[None, :], pts4[:3], prop4[:3])
@@ -345,9 +345,9 @@ def iteration_body_planar(pts4, td, params: SmoothingParams, scale: float,
         # replicas by counting owned points only (returnReduce parity)
         res = halo["sync"].all_max(res)
         n_frozen = halo["sync"].all_sum(jnp.sum(
-            revert & halo["owned"] & (arr["p_valid_w"][0] > 0.5)))
+            revert & halo["owned"] & (arr["p_flags_w"][1] > 0.5)))
     else:
-        n_frozen = jnp.sum(revert & (arr["p_valid_w"][0] > 0.5))
+        n_frozen = jnp.sum(revert & (arr["p_flags_w"][1] > 0.5))
     new_pts4 = jnp.concatenate([new3, pts4[3:4]], axis=0)
     return new_pts4, res, n_frozen
 

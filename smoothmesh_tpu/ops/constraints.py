@@ -25,6 +25,7 @@ TPU-native design notes:
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -383,8 +384,17 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     WP = pp.shape[1]
     edges_arr = td["edges"]
     E = edges_arr.shape[0]
-    Ke = min(chunk if chunk else 4096, E)
-    Kp = min(chunk if chunk else 4096, N)
+    # Eval/agg chunk width.  ``chunk`` (driver.default_face_angle_chunk)
+    # exists to BOUND peak memory at huge N; when it is None (mesh fits
+    # the budget unchunked) the serial while-loop step count is the
+    # cost that matters — each full eval pass runs ceil(E_active/Ke)
+    # sequential steps of a heavy register-level body, so a small Ke
+    # multiplies fixed per-step latency (round-3 stress profile:
+    # ~1.7 ms/step at K=16384; the old 4096 default paid ~4x the
+    # steps).  64k keeps the live (K,) working set at ~tens of MB.
+    _k_default = int(os.environ.get("SMOOTHMESH_FA_EVAL_CHUNK", "65536"))
+    Ke = min(chunk if chunk else _k_default, E)
+    Kp = min(chunk if chunk else _k_default, N)
 
     # Active sets are compacted to exact entry lists with jnp.nonzero
     # and streamed in fixed-size chunks.  MEASURED NEGATIVE ALTERNATIVE

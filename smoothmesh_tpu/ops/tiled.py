@@ -97,7 +97,14 @@ class PoolSpec:
 @dataclasses.dataclass
 class TableCodes:
     """Pool-local select codes for one padded (Nc, W) table: planar
-    (W, Nc_pad) int32, code = pool_row * 128 + lane."""
+    (W, Nc_pad) int16 with code = pool_row * 128 + lane in bits 0-14
+    and the table's VALID mask in bit 15 (raw int16 < 0 <=> valid).
+
+    Packing the mask into the sign bit removes the separate planar f32
+    mask arrays entirely — at 10M cells those were ~3.5 GB of device
+    HBM (each (W, N) f32 mask also pads its sublane dim to the (8,128)
+    tile).  Kernels unpack with :func:`unpack_code`.
+    """
 
     codes: np.ndarray
     width: int
@@ -238,8 +245,9 @@ def build_pool(n_consumers: int,
         # HBM footprint (~3.6 GB at 10M cells).  Codes are bounded by
         # n_pool_rows*128 <= (8*16 + ghost_row_cap)*128 = 24576 < 2^15.
         assert codes.max() < 2 ** 15
+        packed = codes.astype(np.uint16) | (m.astype(np.uint16) << 15)
         all_codes.append(TableCodes(
-            codes=np.ascontiguousarray(codes.T).astype(np.int16), width=W))
+            codes=np.ascontiguousarray(packed.T).view(np.int16), width=W))
     return pool, all_codes
 
 
@@ -275,6 +283,63 @@ def ghosts_planar(x_planar: jnp.ndarray, ghost_ids: jnp.ndarray
     ghost_ids: (nb, GR*128) device array of source entity ids.
     """
     return x_planar[:, ghost_ids.reshape(-1)]
+
+
+# ---------------------------------------------------------------------------
+# Meta packing: one folded int16 array per consumer class
+# ---------------------------------------------------------------------------
+#
+# All static per-consumer tables of a stage (select codes, packed slot
+# pairs, bitmasks) are stored as row-slices of ONE (R, nb*KB) int16
+# "meta" array instead of separate arrays: TPU HBM stores every array
+# in (16, 128) int16 tiles, so a standalone 4-row code table occupies
+# 4x its logical bytes.  When R itself is not a multiple of 16 the
+# array is additionally FOLDED: fold consecutive consumer blocks are
+# stacked vertically, storage (R*fold, ceil(nb/fold)*KB), making the
+# sublane dim tile-exact.  The per-block DMA is unchanged — the
+# BlockSpec fetches block b at rows [(b%fold)*R, +R), cols
+# [(b//fold)*KB, +KB).
+
+I16_TILE = 16
+
+
+def pick_fold(rows: int) -> int:
+    """Vertical fold factor for a meta array of ``rows`` rows.
+
+    MEASURED CONSTRAINT (2026-08-19, v5e Mosaic): a BlockSpec's
+    sublane block size must be divisible by 8 OR equal to the array's
+    full sublane extent — a (4, KB) block of a folded (16, nb/4*KB)
+    array is rejected at lowering.  Folding would need dynamic
+    in-kernel sublane offsets instead (untested on Mosaic), so metas
+    stay UNFOLDED: block rows == array rows is always legal, and the
+    residual HBM tile padding (R rows -> next multiple of 16 int16
+    rows, at most ~1.1 GB across all metas at 10M cells) is accepted.
+    """
+    return 1
+
+
+def fold_meta(meta: np.ndarray, fold: int) -> np.ndarray:
+    """(R, nb*KB) -> (R*fold, ceil(nb/fold)*KB) vertical block fold."""
+    meta = np.asarray(meta, np.int16)
+    R, Wc = meta.shape
+    nb = Wc // KB
+    if fold == 1:
+        return np.ascontiguousarray(meta)
+    nbp = -(-nb // fold) * fold
+    if nbp != nb:
+        meta = np.pad(meta, ((0, 0), (0, (nbp - nb) * KB)))
+    m4 = meta.reshape(R, nbp // fold, fold, KB)
+    return np.ascontiguousarray(
+        m4.transpose(2, 0, 1, 3)).reshape(fold * R, (nbp // fold) * KB)
+
+
+def unpack_code(raw_row: jnp.ndarray):
+    """(1, KB) int16 meta row -> (code int32 (1, KB), valid bool).
+
+    Bit 15 is the valid flag (int16 sign bit), bits 0-14 the value.
+    """
+    r = raw_row.astype(jnp.int32)
+    return jnp.bitwise_and(r, 0x7FFF), r < 0
 
 
 # ---------------------------------------------------------------------------
@@ -368,30 +433,34 @@ class FieldSpec:
 
 def stage_call(kernel_body, nb: int,
                fields: Sequence[FieldSpec],
-               code_widths: Sequence[int],
                n_out_comps: Sequence[int],
+               meta_rows: int = 0,
+               meta_fold: int = 1,
                extra_in_specs: Sequence = (),
                interpret: bool = False):
     """Build a jit-able stage function.
 
     kernel_body(ctx, *extra_refs) runs per consumer block with
       ctx.pool(name)        -> (C*128, PR) f32 poolT
-      ctx.codes[i]          -> (W_i, KB) int32 codes ref block
+      ctx.meta              -> (meta_rows, KB) int16 meta ref block
+                               (codes + packed static rows; see
+                               unpack_code / the meta packing note)
       ctx.out[j]            -> (C_j, KB) f32 output ref block
     The returned function is called as
-      fn(win_stack, codes_list, field_arrays {name: (planar, ghosts)},
+      fn(win_stack, meta, field_arrays {name: (planar, ghosts)},
          extras...) -> list of planar outputs (C_j, nb*KB).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_f = len(fields)
+    n_meta = 1 if meta_rows else 0
     field_nw = [f.pool.n_windows for f in fields]
     win_base = np.concatenate([[0], np.cumsum(field_nw)]).astype(int)
 
     def kernel(win_ref, *refs):
-        code_refs = refs[:len(code_widths)]
-        off = len(code_widths)
+        meta_ref = refs[0] if n_meta else None
+        off = n_meta
         win_refs = [refs[off + win_base[i]: off + win_base[i + 1]]
                     for i in range(n_f)]
         off += int(win_base[-1])
@@ -409,14 +478,19 @@ def stage_call(kernel_body, nb: int,
             pools[f.name] = assemble_poolT(
                 [w for w in win_refs[i]], ghost_refs[i], f.ncomp)
         ctx.poolT = pools
-        ctx.codes = code_refs
+        ctx.meta = meta_ref
         ctx.out = out_refs
         kernel_body(ctx, *extra_refs)
 
     in_specs = []
-    for wi in code_widths:
+    if n_meta:
+        if meta_fold == 1:
+            meta_idx = lambda b, win: (0, b)            # noqa: E731
+        else:
+            meta_idx = lambda b, win: (b % meta_fold,   # noqa: E731
+                                       b // meta_fold)
         in_specs.append(pl.BlockSpec(
-            (wi, KB), lambda b, win: (0, b), memory_space=pltpu.VMEM))
+            (meta_rows, KB), meta_idx, memory_space=pltpu.VMEM))
     for i, f in enumerate(fields):
         for w in range(field_nw[i]):
             in_specs.append(pl.BlockSpec(
@@ -444,8 +518,8 @@ def stage_call(kernel_body, nb: int,
         out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
     )
 
-    def fn(win_stack, codes_list, field_arrays, *extras):
-        args = list(codes_list)
+    def fn(win_stack, meta, field_arrays, *extras):
+        args = [meta] if n_meta else []
         for f in fields:
             planar, _ = field_arrays[f.name]
             args.extend([planar] * f.pool.n_windows)
@@ -495,16 +569,18 @@ def tiled_gather(x: jnp.ndarray, pool: PoolSpec, codes: TableCodes,
 
     def body(ctx):
         pT = split_terms(ctx.poolT["x"])
-        cr = ctx.codes[0]
         for w in range(W):
-            vals = select(pT, cr[w, :][None, :], C)
+            code, _valid = unpack_code(ctx.meta[w, :][None, :])
+            vals = select(pT, code, C)
             for c in range(C):
                 ctx.out[w * C + c][:] = vals[c]
 
-    fn = stage_call(body, nb, [field], [W], [1] * (W * C),
-                    interpret=interpret)
+    fold = pick_fold(W)
+    fn = stage_call(body, nb, [field], [1] * (W * C),
+                    meta_rows=W, meta_fold=fold, interpret=interpret)
     outs = fn(jnp.asarray(win_stack_for([field])),
-              [jnp.asarray(codes.codes)], {"x": (xp, gh)})
+              jnp.asarray(fold_meta(codes.codes, fold)),
+              {"x": (xp, gh)})
     res = jnp.stack([jnp.stack([outs[w * C + c][0] for c in range(C)],
                                axis=-1) for w in range(W)], axis=1)
     return res[:n_consumers]

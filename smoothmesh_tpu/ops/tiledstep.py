@@ -52,23 +52,13 @@ def _nb(n: int) -> int:
     return -(-n // KB)
 
 
-def _planar_extra(arr: np.ndarray) -> np.ndarray:
-    """Host (Nc, W) -> padded planar (W, nb*KB) float32 extra input."""
-    a = np.asarray(arr, np.float32)
+def _planar_u16(arr: np.ndarray, width: int) -> np.ndarray:
+    """Host (Nc, W) uint16 -> planar (W, width) int16 meta rows."""
+    a = np.asarray(arr, np.uint16)
     Nc, W = a.shape
-    pad = _nb(Nc) * KB - Nc
-    if pad:
-        a = np.pad(a, ((0, pad), (0, 0)))
-    return np.ascontiguousarray(a.T)
-
-
-def _planar_extra_i32(arr: np.ndarray) -> np.ndarray:
-    a = np.asarray(arr, np.int32)
-    Nc, W = a.shape
-    pad = _nb(Nc) * KB - Nc
-    if pad:
-        a = np.pad(a, ((0, pad), (0, 0)))
-    return np.ascontiguousarray(a.T)
+    if Nc < width:
+        a = np.pad(a, ((0, width - Nc), (0, 0)))
+    return np.ascontiguousarray(a.T).view(np.int16)
 
 
 def u_to_angle(u: jnp.ndarray) -> jnp.ndarray:
@@ -146,18 +136,22 @@ class TiledEngine:
         t = topo
 
         # ---- stage F: faces <- points --------------------------------
+        # Static per-consumer data rides ONE folded int16 meta array
+        # per stage (tiled.py meta packing note): select codes carry
+        # their valid mask in bit 15, so the old separate planar f32
+        # mask arrays (tile-padded to 8 sublanes each) are gone.
         self.f_pool, (self.f_codes,) = tiled.build_pool(
             t.n_faces, [(t.face_points, t.face_mask)], t.n_points,
             min_ghost_rows=gr("f", 1), n_windows=nw("f"))
-        A["f_mask"] = jnp.asarray(_planar_extra(t.face_mask))
         self.f_field = FieldSpec("pts", self.f_pool, 3)
+        f_fold = tiled.pick_fold(self.f_codes.width)
         self._stage_f = stage_call(
-            self._f_body, _nb(t.n_faces), [self.f_field],
-            [self.f_codes.width], [6, 3],
-            extra_in_specs=[_extra_spec(t.face_mask.shape[1])],
+            self._f_body, _nb(t.n_faces), [self.f_field], [6, 3],
+            meta_rows=self.f_codes.width, meta_fold=f_fold,
             interpret=interpret)
+        A["f_meta"] = jnp.asarray(tiled.fold_meta(self.f_codes.codes,
+                                                  f_fold))
         A["f_win"] = jnp.asarray(win_stack_for([self.f_field]))
-        A["f_codes"] = jnp.asarray(self.f_codes.codes)
         A["f_gids"] = jnp.asarray(self.f_pool.ghost_ids)
 
         # ---- stage C: cells <- face geometry -------------------------
@@ -165,17 +159,30 @@ class TiledEngine:
             t.n_cells, [(t.cell_faces, t.cell_faces_mask)], t.n_faces,
             min_ghost_rows=gr("c", 1), n_windows=nw("c"))
         cell_ids = np.arange(t.n_cells, dtype=np.int64)[:, None]
-        sign = np.where(t.owner[t.cell_faces] == cell_ids, 1.0, -1.0)
-        sign = np.where(t.cell_faces_mask, sign, 0.0)
-        A["c_sign"] = jnp.asarray(_planar_extra(sign))
+        neg = (t.owner[t.cell_faces] != cell_ids) & t.cell_faces_mask
+        # owner sign rides bit 14 of the c codes (mask is bit 15); the
+        # code value itself must then fit 14 bits.  cell_faces pools
+        # are the most local of all stages, so this holds in practice;
+        # a violation falls back to the XLA path via ValueError (the
+        # driver catches engine-construction ValueErrors).
+        cmax = int(np.asarray(self.c_codes.codes, np.int32).max() & 0x7FFF) \
+            if self.c_codes.codes.size else 0
+        if cmax >= (1 << 14):
+            raise ValueError(
+                f"stage-C pool code {cmax} >= 2^14; cannot pack owner "
+                "sign into the c meta")
+        negp = np.zeros(self.c_codes.codes.shape, np.uint16)
+        negp[:, :t.n_cells] = neg.T
+        c_packed = self.c_codes.codes.view(np.uint16) | (negp << 14)
         self.c_field = FieldSpec("fgeom", self.c_pool, 6)
+        c_fold = tiled.pick_fold(self.c_codes.width)
         self._stage_c = stage_call(
-            self._c_body, _nb(t.n_cells), [self.c_field],
-            [self.c_codes.width], [4],
-            extra_in_specs=[_extra_spec(sign.shape[1])],
+            self._c_body, _nb(t.n_cells), [self.c_field], [4],
+            meta_rows=self.c_codes.width, meta_fold=c_fold,
             interpret=interpret)
+        A["c_meta"] = jnp.asarray(tiled.fold_meta(
+            c_packed.view(np.int16), c_fold))
         A["c_win"] = jnp.asarray(win_stack_for([self.c_field]))
-        A["c_codes"] = jnp.asarray(self.c_codes.codes)
         A["c_gids"] = jnp.asarray(self.c_pool.ghost_ids)
 
         # ---- stage P: points <- cell centres + neighbour points ------
@@ -186,31 +193,42 @@ class TiledEngine:
             t.n_points, [(t.point_points, t.point_points_mask)],
             t.n_points, min_ghost_rows=gr("p_pp", 1),
             n_windows=nw("p_pp"))
-        A["p_pc_mask"] = jnp.asarray(_planar_extra(t.point_cells_mask))
-        A["p_pp_mask"] = jnp.asarray(_planar_extra(t.point_points_mask))
-        A["p_share"] = jnp.asarray(_planar_extra_i32(
-            _share_cell_bits(t)))
-        intern = t.is_internal_point.astype(np.float32)[:, None]
-        A["p_intern"] = jnp.asarray(_planar_extra(intern))
-        A["p_intern_b"] = jnp.asarray(
-            t.is_internal_point[None, :].astype(np.bool_))
-        # full planar-width rows (zero-padded) for the planar-carry
-        # iteration glue: padding lanes read as not-internal/not-valid
-        A["p_intern_w"] = to_planar(jnp.asarray(
-            t.is_internal_point[:, None].astype(np.float32)))
+        Wcc = self.p_cc_codes.width
+        Wpp = self.p_pp_codes.width
+        if Wpp > 15:
+            raise ValueError(
+                f"point_points width {Wpp} > 15: share bitmask does not "
+                "fit the int16 meta rows")
+        # share-a-cell bitmasks fit 15 bits (Wpp <= 15); the
+        # is-internal flag rides bit 15 of share row 0
+        share = _share_cell_bits(t).astype(np.uint16)
+        share[:, 0] |= t.is_internal_point.astype(np.uint16) << 15
+        # p meta rows: [cc codes | pp codes | share]
+        self._pm_pp = Wcc
+        self._pm_share = Wcc + Wpp
+        p_rows = Wcc + 2 * Wpp
+        p_meta = np.concatenate([
+            self.p_cc_codes.codes,
+            self.p_pp_codes.codes,
+            _planar_u16(share, self.p_cc_codes.codes.shape[1]),
+        ], axis=0)
+        self._p_fold = tiled.pick_fold(p_rows)
+        self._p_rows = p_rows
+        A["p_meta"] = jnp.asarray(tiled.fold_meta(p_meta, self._p_fold))
+        # full planar-width flag rows (zero-padded) for the
+        # planar-carry iteration glue: row 0 = is-internal, row 1 =
+        # valid; padding lanes read as not-internal/not-valid
         pv = getattr(t, "point_valid_rows", None)
         if pv is None:
             pv = np.ones(t.n_points, bool)
-        A["p_valid_w"] = to_planar(jnp.asarray(
-            pv[:, None].astype(np.float32)))
+        A["p_flags_w"] = to_planar(jnp.asarray(np.stack(
+            [t.is_internal_point, pv], axis=1).astype(np.float32)))
         # 3-comp pool: _p_body never selects the volume row of cc4
         # (25% less MXU select work + ghost-gather width)
         self.p_cc_field = FieldSpec("cc", self.p_cc_pool, 3)
         self.p_pp_field = FieldSpec("pts4", self.p_pp_pool, 4)
         A["p_win"] = jnp.asarray(win_stack_for(
             [self.p_cc_field, self.p_pp_field]))
-        A["p_cc_codes"] = jnp.asarray(self.p_cc_codes.codes)
-        A["p_pp_codes"] = jnp.asarray(self.p_pp_codes.codes)
         A["p_cc_gids"] = jnp.asarray(self.p_cc_pool.ghost_ids)
         A["p_pp_gids"] = jnp.asarray(self.p_pp_pool.ghost_ids)
         self._p_stage_cache = {}
@@ -241,11 +259,24 @@ class TiledEngine:
                 raise AssertionError("wedge neighbour not in point_points")
             return match.argmax(axis=2)
 
-        self.arrays["s_prev_slot"] = jnp.asarray(_planar_extra_i32(
-            to_slots(t.wedge_prev)))
-        self.arrays["s_next_slot"] = jnp.asarray(_planar_extra_i32(
-            to_slots(t.wedge_next)))
-        self.arrays["s_pf_mask"] = jnp.asarray(_planar_extra(pfm))
+        # s meta rows: [pp codes | packed wedges].  A wedge row packs
+        # prev slot (bits 0-4), next slot (bits 5-9) and the
+        # point_faces mask (bit 15) into one int16 — replacing two
+        # planar int32 slot arrays + one planar f32 mask (~1.9 GB of
+        # tile-padded HBM at 10M cells).
+        wedge = (to_slots(t.wedge_prev).astype(np.uint16)
+                 | (to_slots(t.wedge_next).astype(np.uint16) << 5)
+                 | (pfm.astype(np.uint16) << 15))
+        self._sm_wedge = self.p_pp_codes.width
+        s_rows = self.p_pp_codes.width + pfm.shape[1]
+        s_meta = np.concatenate([
+            self.p_pp_codes.codes,
+            _planar_u16(wedge, self.p_pp_codes.codes.shape[1]),
+        ], axis=0)
+        self._s_fold = tiled.pick_fold(s_rows)
+        self._s_rows = s_rows
+        self.arrays["s_meta"] = jnp.asarray(
+            tiled.fold_meta(s_meta, self._s_fold))
         self._s_stage_cache = {}
 
     def _get_stage_s(self, min_edge, total_min_freeze, min_angle_rad,
@@ -260,13 +291,9 @@ class TiledEngine:
                 edge_angle_on=key[3])
             self._s_stage_cache[key] = stage_call(
                 body, _nb(t.n_points),
-                [self.s_cur_field, self.s_prop_field],
-                [self.p_pp_codes.width], [1],
+                [self.s_cur_field, self.s_prop_field], [1],
+                meta_rows=self._s_rows, meta_fold=self._s_fold,
                 extra_in_specs=[
-                    _extra_spec(t.point_points_mask.shape[1]),
-                    _extra_spec(t.point_faces_mask.shape[1]),
-                    _extra_spec(t.point_faces_mask.shape[1]),
-                    _extra_spec(t.point_faces_mask.shape[1]),
                     _extra_spec(4),
                     _extra_spec(4),
                     _extra_spec(1),
@@ -283,13 +310,9 @@ class TiledEngine:
                 do_boundary=key[2])
             self._p_stage_cache[key] = stage_call(
                 body, _nb(t.n_points),
-                [self.p_cc_field, self.p_pp_field],
-                [self.p_cc_codes.width, self.p_pp_codes.width], [4],
+                [self.p_cc_field, self.p_pp_field], [4],
+                meta_rows=self._p_rows, meta_fold=self._p_fold,
                 extra_in_specs=[
-                    _extra_spec(t.point_cells_mask.shape[1]),
-                    _extra_spec(t.point_points_mask.shape[1]),
-                    _extra_spec(t.point_points_mask.shape[1]),
-                    _extra_spec(1),
                     _extra_spec(4),
                 ],
                 interpret=self.interpret)
@@ -297,20 +320,19 @@ class TiledEngine:
 
     # ---- kernel bodies ---------------------------------------------------
 
-    def _f_body(self, ctx, mask_ref):
+    def _f_body(self, ctx):
         """OpenFOAM face centres/areas + vertex means (geometry
         .face_centres_areas) for one block of faces."""
         W = self.f_codes.width
         pT = split_terms(ctx.poolT["pts"])
-        cr = ctx.codes[0]
         px, py, pz, m = [], [], [], []
         for w in range(W):
-            v = select(pT, cr[w, :][None, :], 3)
-            mw = mask_ref[w, :][None, :]
+            code, valid = tiled.unpack_code(ctx.meta[w, :][None, :])
+            v = select(pT, code, 3)
             px.append(v[0])
             py.append(v[1])
             pz.append(v[2])
-            m.append(mw)
+            m.append(valid.astype(jnp.float32))
         n = sum(m)
         inv_n = 1.0 / jnp.maximum(n, 1.0)
         vmx = sum(px[w] * m[w] for w in range(W)) * inv_n
@@ -366,21 +388,26 @@ class TiledEngine:
             [fcx, fcy, fcz, fax, fay, faz], axis=0)
         ctx.out[1][:] = jnp.concatenate([vmx, vmy, vmz], axis=0)
 
-    def _c_body(self, ctx, sign_ref):
+    def _c_body(self, ctx):
         """OpenFOAM cell centres/volumes (geometry.cell_centres_vols)
         for one block of cells."""
         W = self.c_codes.width
         pT = split_terms(ctx.poolT["fgeom"])
-        cr = ctx.codes[0]
         fc = []
         fa = []
         sg = []
+        m = []
         for w in range(W):
-            v = select(pT, cr[w, :][None, :], 6)
+            raw = ctx.meta[w, :][None, :].astype(jnp.int32)
+            code = jnp.bitwise_and(raw, 0x3FFF)
+            mask = (raw < 0).astype(jnp.float32)       # bit 15
+            negb = jnp.bitwise_and(jnp.right_shift(raw, 14), 1)
+            v = select(pT, code, 6)
             fc.append(v[0:3])
             fa.append(v[3:6])
-            sg.append(sign_ref[w, :][None, :])
-        m = [jnp.abs(s) for s in sg]           # sign is 0 on padded slots
+            # sign is 0 on padded slots, else +/-1 by face ownership
+            sg.append(mask * (1.0 - 2.0 * negb.astype(jnp.float32)))
+            m.append(mask)
         n = sum(m)
         inv_n = 1.0 / jnp.maximum(n, 1.0)
         ce = [sum(fc[w][c] * m[w] for w in range(W)) * inv_n
@@ -405,25 +432,26 @@ class TiledEngine:
         ctx.out[0][:] = jnp.concatenate([ccx, ccy, ccz, vol3 / 3.0],
                                         axis=0)
 
-    def _p_body(self, ctx, pc_mask_ref, pp_mask_ref, share_ref,
-                intern_ref, own4_ref, *, max_step, rel_step_frac,
+    def _p_body(self, ctx, own4_ref, *, max_step, rel_step_frac,
                 do_boundary):
         """Fused centroidal + aspect-ratio + step limiter for one block
         of points (ops/smoothing.py: centroidal_smoothing,
         _closest_three, _share_cell, aspect_ratio_smoothing,
         constrain_max_step_length; reference src/smoothMesh.C:96-754).
 
+        Meta rows: [cc codes | pp codes | share bits]; the is-internal
+        flag is bit 15 of share row 0.
         Outputs (4, KB): [proposal xyz | min current edge length].
         """
         Wc = self.p_cc_codes.width
         Wp = self.p_pp_codes.width
         ccT = split_terms(ctx.poolT["cc"])
         ppT = split_terms(ctx.poolT["pts4"])
-        cc_codes = ctx.codes[0]
-        pp_codes = ctx.codes[1]
+        meta = ctx.meta
 
         own = [own4_ref[c, :][None, :] for c in range(3)]
-        internal = intern_ref[0, :][None, :]            # 1.0 / 0.0
+        internal = (meta[self._pm_share, :][None, :]
+                    .astype(jnp.int32) < 0).astype(jnp.float32)
         big = BIGF
         inf = jnp.float32(np.inf)
 
@@ -431,8 +459,9 @@ class TiledEngine:
         elig_own = jnp.maximum(internal, 1.0 if do_boundary else 0.0)
         sx = sy = sz = cnt = 0.0
         for w in range(Wc):
-            v = select(ccT, cc_codes[w, :][None, :], 3)
-            m = pc_mask_ref[w, :][None, :] * elig_own
+            code, valid = tiled.unpack_code(meta[w, :][None, :])
+            v = select(ccT, code, 3)
+            m = valid.astype(jnp.float32) * elig_own
             sx = sx + v[0] * m
             sy = sy + v[1] * m
             sz = sz + v[2] * m
@@ -448,12 +477,13 @@ class TiledEngine:
         lens_m = []     # masked length (inf where padded)
         lens_e = []     # eligibility-filtered length
         for w in range(Wp):
-            v = select(ppT, pp_codes[w, :][None, :], 4)
+            code, m = tiled.unpack_code(
+                meta[self._pm_pp + w, :][None, :])
+            v = select(ppT, code, 4)
             dx = v[0] - own[0]
             dy = v[1] - own[1]
             dz = v[2] - own[2]
             L = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-            m = pp_mask_ref[w, :][None, :] > 0
             n_int = v[3] > 0.5
             elig = m & ((internal > 0.5) | ~n_int)
             rel.append([dx, dy, dz])
@@ -485,11 +515,14 @@ class TiledEngine:
                     for w in range(Wp)]
 
         (c1, w1, f1), (c2, w2, f2), (c3, _w3, _f3) = picks
-        # share-a-cell test via the static bitmask
+        # share-a-cell test via the static bitmask (strip the intern
+        # flag riding bit 15 of row 0)
         bits1 = 0
         for w in range(Wp):
-            bits1 = bits1 + jnp.where(
-                w1 == w, share_ref[w, :][None, :], 0)
+            sh = jnp.bitwise_and(
+                meta[self._pm_share + w, :][None, :].astype(jnp.int32),
+                0x7FFF)
+            bits1 = bits1 + jnp.where(w1 == w, sh, 0)
         has_common = (jnp.bitwise_and(
             jnp.right_shift(bits1, jnp.maximum(w2, 0)), 1) > 0)
         has_common &= f1 & f2
@@ -547,9 +580,31 @@ class TiledEngine:
             t.n_edges, [(t.edge_cells, t.edge_cells_mask)], t.n_cells,
             min_ghost_rows=self._gr.get("e_cc", 1),
             n_windows=self._nw.get("e_cc"))
-        A["e_ec_mask"] = jnp.asarray(_planar_extra(t.edge_cells_mask))
-        A["e_f0"] = jnp.asarray(_planar_extra_i32(t.edge_cell_f0))
-        A["e_f1"] = jnp.asarray(_planar_extra_i32(t.edge_cell_f1))
+        Wef = self.e_ef_codes.width
+        Wec = self.e_ec_codes.width
+        if Wef >= 128:
+            raise ValueError(
+                f"edge_faces width {Wef} >= 128: f0/f1 slot pair does "
+                "not fit one int16 meta row")
+        # e meta rows: [ep codes | ef codes | ec codes | f0|f1 packed]:
+        # f0/f1 are slots into the ef pvecs (7 bits each); the
+        # edge_cells mask is bit 15 of the ec code rows.
+        self._em_ef = 2
+        self._em_ec = 2 + Wef
+        self._em_ff = 2 + Wef + Wec
+        e_rows = 2 + Wef + 2 * Wec
+        ff = (np.where(t.edge_cells_mask, t.edge_cell_f0, 0)
+              .astype(np.uint16)
+              | (np.where(t.edge_cells_mask, t.edge_cell_f1, 0)
+                 .astype(np.uint16) << 7))
+        e_meta = np.concatenate([
+            self.e_ep_codes.codes,
+            self.e_ef_codes.codes,
+            self.e_ec_codes.codes,
+            _planar_u16(ff, self.e_ep_codes.codes.shape[1]),
+        ], axis=0)
+        self._e_fold = tiled.pick_fold(e_rows)
+        A["e_meta"] = jnp.asarray(tiled.fold_meta(e_meta, self._e_fold))
         # 3-comp pools: _e_body reads only coordinates of endpoints and
         # cell centres
         self.e_pts_field = FieldSpec("pts4", self.e_pts_pool, 3)
@@ -557,20 +612,11 @@ class TiledEngine:
         self.e_cc_field = FieldSpec("cc", self.e_cc_pool, 3)
         self._stage_e = stage_call(
             self._e_body, _nb(t.n_edges),
-            [self.e_pts_field, self.e_vm_field, self.e_cc_field],
-            [self.e_ep_codes.width, self.e_ef_codes.width,
-             self.e_ec_codes.width], [2],
-            extra_in_specs=[
-                _extra_spec(t.edge_cells_mask.shape[1]),
-                _extra_spec(t.edge_cell_f0.shape[1]),
-                _extra_spec(t.edge_cell_f1.shape[1]),
-            ],
+            [self.e_pts_field, self.e_vm_field, self.e_cc_field], [2],
+            meta_rows=e_rows, meta_fold=self._e_fold,
             interpret=self.interpret)
         A["e_win"] = jnp.asarray(win_stack_for(
             [self.e_pts_field, self.e_vm_field, self.e_cc_field]))
-        A["e_ep_codes"] = jnp.asarray(self.e_ep_codes.codes)
-        A["e_ef_codes"] = jnp.asarray(self.e_ef_codes.codes)
-        A["e_ec_codes"] = jnp.asarray(self.e_ec_codes.codes)
         A["e_pts_gids"] = jnp.asarray(self.e_pts_pool.ghost_ids)
         A["e_vm_gids"] = jnp.asarray(self.e_vm_pool.ghost_ids)
         A["e_cc_gids"] = jnp.asarray(self.e_cc_pool.ghost_ids)
@@ -580,18 +626,18 @@ class TiledEngine:
             t.n_points, [(t.point_edges, t.point_edges_mask)], t.n_edges,
             min_ghost_rows=self._gr.get("r", 1),
             n_windows=self._nw.get("r"))
-        A["r_pe_mask"] = jnp.asarray(_planar_extra(t.point_edges_mask))
         self.r_field = FieldSpec("ue", self.r_pool, 2)
+        r_fold = tiled.pick_fold(self.r_codes.width)
         self._stage_r = stage_call(
-            self._r_body, _nb(t.n_points), [self.r_field],
-            [self.r_codes.width], [2],
-            extra_in_specs=[_extra_spec(t.point_edges_mask.shape[1])],
+            self._r_body, _nb(t.n_points), [self.r_field], [2],
+            meta_rows=self.r_codes.width, meta_fold=r_fold,
             interpret=self.interpret)
+        A["r_meta"] = jnp.asarray(tiled.fold_meta(self.r_codes.codes,
+                                                  r_fold))
         A["r_win"] = jnp.asarray(win_stack_for([self.r_field]))
-        A["r_codes"] = jnp.asarray(self.r_codes.codes)
         A["r_gids"] = jnp.asarray(self.r_pool.ghost_ids)
 
-    def _e_body(self, ctx, ec_mask_ref, f0_ref, f1_ref):
+    def _e_body(self, ctx):
         """Per-edge min/max projected face-face angle in u-space
         (face_angles_for_edges without substitutions, reference
         calcMinMaxFaceAngleForEdge src/smoothMesh.C:1135-1231).
@@ -601,16 +647,17 @@ class TiledEngine:
         angle-space min/max; the driver converts the reduced per-point
         values back with arccos (acos does not lower to Mosaic).
         """
-        WEP = self.e_ep_codes.width           # 2
         WEF = self.e_ef_codes.width
         WEC = self.e_ec_codes.width
         ptsT = split_terms(ctx.poolT["pts4"])
         vmT = split_terms(ctx.poolT["vm"])
         ccT = split_terms(ctx.poolT["cc"])
-        epc, efc, ecc = ctx.codes
+        meta = ctx.meta
 
-        e0 = select(ptsT, epc[0, :][None, :], 3)
-        e1 = select(ptsT, epc[1, :][None, :], 3)
+        ep0, _ = tiled.unpack_code(meta[0, :][None, :])
+        ep1, _ = tiled.unpack_code(meta[1, :][None, :])
+        e0 = select(ptsT, ep0, 3)
+        e1 = select(ptsT, ep1, 3)
         ctr = [0.5 * (a + b) for a, b in zip(e0, e1)]
         ev = [b - a for a, b in zip(e0, e1)]
         en = jnp.maximum(jnp.sqrt(sum(v * v for v in ev)), VSMALL)
@@ -625,7 +672,9 @@ class TiledEngine:
 
         pvecs = []
         for w in range(WEF):
-            vm = select(vmT, efc[w, :][None, :], 3)
+            code, _ = tiled.unpack_code(
+                meta[self._em_ef + w, :][None, :])
+            vm = select(vmT, code, 3)
             pvecs.append(proj_unit(vm))
 
         def slot_sel3(vals, slot):
@@ -635,10 +684,13 @@ class TiledEngine:
         u_min = jnp.full_like(e0[0], 4.0)
         u_max = jnp.zeros_like(e0[0])
         for u in range(WEC):
-            cc = select(ccT, ecc[u, :][None, :], 3)
+            code, okb = tiled.unpack_code(
+                meta[self._em_ec + u, :][None, :])
+            cc = select(ccT, code, 3)
             cv = proj_unit(cc)
-            f0 = f0_ref[u, :][None, :].astype(jnp.int32)
-            f1 = f1_ref[u, :][None, :].astype(jnp.int32)
+            ffr = meta[self._em_ff + u, :][None, :].astype(jnp.int32)
+            f0 = jnp.bitwise_and(ffr, 0x7F)
+            f1 = jnp.bitwise_and(jnp.right_shift(ffr, 7), 0x7F)
             p0 = slot_sel3(pvecs, f0)
             p1 = slot_sel3(pvecs, f1)
             a = jnp.clip(sum(p0[c] * cv[c] for c in range(3)),
@@ -650,28 +702,26 @@ class TiledEngine:
             cos_s = a * b - sa * sb
             sin_s = sa * b + a * sb
             uv = jnp.where(sin_s >= 0, 1.0 - cos_s, 3.0 + cos_s)
-            ok = ec_mask_ref[u, :][None, :] > 0
+            ok = okb
             u_min = jnp.where(ok, jnp.minimum(u_min, uv), u_min)
             u_max = jnp.where(ok, jnp.maximum(u_max, uv), u_max)
         ctx.out[0][:] = jnp.concatenate([u_min, u_max], axis=0)
 
-    def _r_body(self, ctx, pe_mask_ref):
+    def _r_body(self, ctx):
         W = self.r_codes.width
         ueT = split_terms(ctx.poolT["ue"])
-        codes = ctx.codes[0]
         u_min = None
         u_max = None
         for w in range(W):
-            v = select(ueT, codes[w, :][None, :], 2)
-            ok = pe_mask_ref[w, :][None, :] > 0
+            code, ok = tiled.unpack_code(ctx.meta[w, :][None, :])
+            v = select(ueT, code, 2)
             mn = jnp.where(ok, v[0], 4.0)
             mx = jnp.where(ok, v[1], 0.0)
             u_min = mn if u_min is None else jnp.minimum(u_min, mn)
             u_max = mx if u_max is None else jnp.maximum(u_max, mx)
         ctx.out[0][:] = jnp.concatenate([u_min, u_max], axis=0)
 
-    def _s_body(self, ctx, pp_mask_ref, pf_mask_ref, prev_slot_ref,
-                next_slot_ref, own_cur_ref, own_prop_ref, frozen_in_ref,
+    def _s_body(self, ctx, own_cur_ref, own_prop_ref, frozen_in_ref,
                 *, min_edge, total_min_freeze, cos_min_angle,
                 edge_angle_on):
         """Edge-shortening + edge-angle freezes for one point block
@@ -683,12 +733,14 @@ class TiledEngine:
         decreasing, so every reference comparison of clamped-acos
         angles maps to the reversed comparison of clamped cosines —
         bit-identical freeze decisions without transcendentals.
+
+        Meta rows: [pp codes | packed wedges (prev|next<<5|mask<<15)].
         """
         Wp = self.p_pp_codes.width
         WF = self.topo.point_faces_mask.shape[1]
         curT = split_terms(ctx.poolT["cur4"])
         propT = split_terms(ctx.poolT["prop4"])
-        codes = ctx.codes[0]
+        meta = ctx.meta
         own_c = [own_cur_ref[c, :][None, :] for c in range(3)]
         own_p = [own_prop_ref[c, :][None, :] for c in range(3)]
         inf = jnp.float32(np.inf)
@@ -698,12 +750,11 @@ class TiledEngine:
         cur_min = None
         new_min = None
         for w in range(Wp):
-            code = codes[w, :][None, :]
+            code, m = tiled.unpack_code(meta[w, :][None, :])
             cv = select(curT, code, 3)
             pv = select(propT, code, 3)
             ncur.append(cv)
             nprop.append(pv)
-            m = pp_mask_ref[w, :][None, :] > 0
             dxc = [cv[c] - own_c[c] for c in range(3)]
             dxn = [cv[c] - own_p[c] for c in range(3)]
             lc = jnp.sqrt(sum(d * d for d in dxc))
@@ -736,9 +787,11 @@ class TiledEngine:
             max_c = jnp.full_like(cur_min, -2.0)
             max_n = jnp.full_like(cur_min, -2.0)
             for k in range(WF):
-                ps = prev_slot_ref[k, :][None, :].astype(jnp.int32)
-                ns = next_slot_ref[k, :][None, :].astype(jnp.int32)
-                ok = pf_mask_ref[k, :][None, :] > 0
+                wr = meta[self._sm_wedge + k, :][None, :] \
+                    .astype(jnp.int32)
+                ps = jnp.bitwise_and(wr, 31)
+                ns = jnp.bitwise_and(jnp.right_shift(wr, 5), 31)
+                ok = wr < 0
                 cp1 = slot_sel(ncur, ps)
                 cp2 = slot_sel(ncur, ns)
                 np1 = slot_sel(nprop, ps)
@@ -762,14 +815,14 @@ class TiledEngine:
     def face_geometry(self, arr, pts_planar: jnp.ndarray):
         """-> (geom6 (6, F_pad) [fc|fa], vm3 (3, F_pad))."""
         gh = ghosts_planar(pts_planar, arr["f_gids"])
-        return self._stage_f(arr["f_win"], [arr["f_codes"]],
-                             {"pts": (pts_planar, gh)}, arr["f_mask"])
+        return self._stage_f(arr["f_win"], arr["f_meta"],
+                             {"pts": (pts_planar, gh)})
 
     def cell_centres_vols(self, arr, geom6: jnp.ndarray):
         """-> cc4 (4, C_pad) [cc | vol]."""
         gh = ghosts_planar(geom6, arr["c_gids"])
-        return self._stage_c(arr["c_win"], [arr["c_codes"]],
-                             {"fgeom": (geom6, gh)}, arr["c_sign"])
+        return self._stage_c(arr["c_win"], arr["c_meta"],
+                             {"fgeom": (geom6, gh)})
 
     def predictor(self, arr, pts4_planar: jnp.ndarray, cc4: jnp.ndarray,
                   max_step: float, rel_step_frac: float,
@@ -784,10 +837,9 @@ class TiledEngine:
         gh_cc = ghosts_planar(cc3, arr["p_cc_gids"])
         if gh_pp is None:
             gh_pp = ghosts_planar(pts4_planar, arr["p_pp_gids"])
-        return fn(arr["p_win"], [arr["p_cc_codes"], arr["p_pp_codes"]],
+        return fn(arr["p_win"], arr["p_meta"],
                   {"cc": (cc3, gh_cc), "pts4": (pts4_planar, gh_pp)},
-                  arr["p_pc_mask"], arr["p_pp_mask"], arr["p_share"],
-                  arr["p_intern"], pts4_planar)
+                  pts4_planar)
 
     def freeze_constraints(self, arr, pts4_planar: jnp.ndarray,
                            prop4: jnp.ndarray, frozen_in: jnp.ndarray,
@@ -807,12 +859,10 @@ class TiledEngine:
         gh_cur = (gh_pp[:3] if gh_pp is not None
                   else ghosts_planar(cur3, arr["p_pp_gids"]))
         gh_prop = ghosts_planar(prop3, arr["p_pp_gids"])
-        return fn(arr["s_win"], [arr["p_pp_codes"]],
+        return fn(arr["s_win"], arr["s_meta"],
                   {"cur4": (cur3, gh_cur),
                    "prop4": (prop3, gh_prop)},
-                  arr["p_pp_mask"], arr["s_pf_mask"],
-                  arr["s_prev_slot"], arr["s_next_slot"], pts4_planar,
-                  prop4, frozen_in)
+                  pts4_planar, prop4, frozen_in)
 
     def face_angles_per_point(self, arr, pts4_planar: jnp.ndarray,
                               vm3: jnp.ndarray, cc4: jnp.ndarray):
@@ -826,14 +876,12 @@ class TiledEngine:
         gh_v = ghosts_planar(vm3, arr["e_vm_gids"])
         gh_c = ghosts_planar(cc3, arr["e_cc_gids"])
         ue = self._stage_e(
-            arr["e_win"],
-            [arr["e_ep_codes"], arr["e_ef_codes"], arr["e_ec_codes"]],
+            arr["e_win"], arr["e_meta"],
             {"pts4": (pts3, gh_p), "vm": (vm3, gh_v),
-             "cc": (cc3, gh_c)},
-            arr["e_ec_mask"], arr["e_f0"], arr["e_f1"])
+             "cc": (cc3, gh_c)})
         gh_u = ghosts_planar(ue, arr["r_gids"])
-        up = self._stage_r(arr["r_win"], [arr["r_codes"]],
-                           {"ue": (ue, gh_u)}, arr["r_pe_mask"])
+        up = self._stage_r(arr["r_win"], arr["r_meta"],
+                           {"ue": (ue, gh_u)})
         n = self.topo.n_points
         # u-space values: feed restrict_face_angle_deterioration with
         # u_space=True so current and proposed evaluations share the

@@ -26,9 +26,16 @@ def test_pool_codes_decode(topo):
     span = pool.n_windows * tiled.SPAN_UNIT
     nb = codes.codes.shape[1] // kb
     W = codes.width
+    raw = codes.codes.astype(np.int32)
+    valid_bit = raw < 0                       # bit 15 = table mask
+    decoded = raw & 0x7FFF
+    n_pad = codes.codes.shape[1]
+    exp_mask = np.zeros((W, n_pad), bool)
+    exp_mask[:, :topo.n_points] = topo.point_cells_mask.T
+    np.testing.assert_array_equal(valid_bit, exp_mask)
     for b in range(nb):
         for w in range(W):
-            code = codes.codes[w, b * kb:(b + 1) * kb]
+            code = decoded[w, b * kb:(b + 1) * kb]
             n_real = min((b + 1) * kb, topo.n_points) - b * kb
             win_src = (pool.win[b, np.clip(code // tiled.SPAN_UNIT, 0,
                                            pool.n_windows - 1)]
