@@ -390,9 +390,14 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     # cost that matters — each full eval pass runs ceil(E_active/Ke)
     # sequential steps of a heavy register-level body, so a small Ke
     # multiplies fixed per-step latency (round-3 stress profile:
-    # ~1.7 ms/step at K=16384; the old 4096 default paid ~4x the
-    # steps).  64k keeps the live (K,) working set at ~tens of MB.
-    _k_default = int(os.environ.get("SMOOTHMESH_FA_EVAL_CHUNK", "65536"))
+    # ~1.7 ms/step at K=16384; a 4096 default paid ~4x the steps).
+    # MEASURED NEGATIVE (2026-08-19): K=65536 regressed 64^3 stress to
+    # 568.8 ms/iter (was 296.7) — dirty sweeps after the first pass
+    # have tiny active sets, and every sweep still pays at least one
+    # FULL-chunk-width eval, so an oversized K multiplies the
+    # per-sweep floor; jit warmup also grew to 800 s.  16384 is the
+    # round-3-profiled sweet spot.
+    _k_default = int(os.environ.get("SMOOTHMESH_FA_EVAL_CHUNK", "16384"))
     Ke = min(chunk if chunk else _k_default, E)
     Kp = min(chunk if chunk else _k_default, N)
 
