@@ -1,0 +1,26 @@
+#!/bin/sh
+# Round-4d TPU measurement queue — runs AFTER the 216^3 single-chip
+# attempt (launched separately).  Priority order for the remaining
+# open VERDICT items; ONE TPU process at a time, host otherwise idle.
+set -x
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+echo "=== 64^3 stress @ FA_EVAL_CHUNK=16384 post-meta (item 5 honest datapoint) ==="
+SMOOTHMESH_BENCH_STRESS=1 SMOOTHMESH_BENCH_CONVERGE_CAP=0 \
+    timeout 3000 python bench.py
+
+echo "=== halo D=1 overhead (item 3) ==="
+SMOOTHMESH_BENCH_SHARDED=1 SMOOTHMESH_BENCH_CONVERGE_CAP=0 \
+    timeout 3600 python bench.py
+
+echo "=== scale curve post-meta: 128/160/192 (item 4) ==="
+SMOOTHMESH_BENCH_N=128 SMOOTHMESH_BENCH_CONVERGE_CAP=0 \
+    timeout 3000 python bench.py
+SMOOTHMESH_BENCH_N=160 SMOOTHMESH_BENCH_CONVERGE_CAP=0 \
+    timeout 4200 python bench.py
+SMOOTHMESH_BENCH_N=192 SMOOTHMESH_BENCH_CONVERGE_CAP=0 \
+    timeout 4800 python bench.py
+
+echo "=== compile-time breakdown (item 9) ==="
+timeout 3600 python experiments/compiletime.py 1 8 16
