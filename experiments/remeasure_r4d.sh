@@ -6,13 +6,23 @@ set -x
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 
-echo "=== 64^3 stress @ FA_EVAL_CHUNK=16384 post-meta (item 5 honest datapoint) ==="
+echo "=== 64^3 stress @ FA_EVAL_CHUNK=16384 post-meta (item 5 baseline) ==="
 SMOOTHMESH_BENCH_STRESS=1 SMOOTHMESH_BENCH_CONVERGE_CAP=0 \
     timeout 3000 python bench.py
 
-echo "=== halo D=1 overhead (item 3) ==="
+echo "=== 64^3 stress, FA slot-scan (items 5+9: runtime + warmup effect) ==="
+SMOOTHMESH_FA_SLOT_SCAN=1 SMOOTHMESH_BENCH_STRESS=1 \
+    SMOOTHMESH_BENCH_CONVERGE_CAP=0 timeout 3000 python bench.py
+
+echo "=== 64^3 default, FA slot-scan (in-band runtime + warmup) ==="
+SMOOTHMESH_FA_SLOT_SCAN=1 SMOOTHMESH_BENCH_CONVERGE_CAP=0 \
+    timeout 3000 python bench.py
+
+echo "=== halo D=1 overhead (item 3): full vs nosync ==="
 SMOOTHMESH_BENCH_SHARDED=1 SMOOTHMESH_BENCH_CONVERGE_CAP=0 \
     timeout 3600 python bench.py
+SMOOTHMESH_BENCH_SHARDED=1 SMOOTHMESH_HALO_NOSYNC=1 \
+    SMOOTHMESH_BENCH_CONVERGE_CAP=0 timeout 3600 python bench.py
 
 echo "=== scale curve post-meta: 128/160/192 (item 4) ==="
 SMOOTHMESH_BENCH_N=128 SMOOTHMESH_BENCH_CONVERGE_CAP=0 \
@@ -21,6 +31,3 @@ SMOOTHMESH_BENCH_N=160 SMOOTHMESH_BENCH_CONVERGE_CAP=0 \
     timeout 4200 python bench.py
 SMOOTHMESH_BENCH_N=192 SMOOTHMESH_BENCH_CONVERGE_CAP=0 \
     timeout 4800 python bench.py
-
-echo "=== compile-time breakdown (item 9) ==="
-timeout 3600 python experiments/compiletime.py 1 8 16

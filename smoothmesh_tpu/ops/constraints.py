@@ -398,6 +398,10 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     # per-sweep floor; jit warmup also grew to 800 s.  16384 is the
     # round-3-profiled sweet spot.
     _k_default = int(os.environ.get("SMOOTHMESH_FA_EVAL_CHUNK", "16384"))
+    # Pair-slot fori_loop instead of Python unrolling (bit-identical;
+    # ~WPx smaller lowered module — see eval_edges_chunk).  Off by
+    # default until the runtime effect is measured on device.
+    _SLOT_SCAN = os.environ.get("SMOOTHMESH_FA_SLOT_SCAN", "0") == "1"
     Ke = min(chunk if chunk else _k_default, E)
     Kp = min(chunk if chunk else _k_default, N)
 
@@ -504,6 +508,15 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
 
         out = list(bufs)
         nw = _n_words(len(t_slots))
+        # Slot-scan mode (SMOOTHMESH_FA_SLOT_SCAN=1): run the WP pair
+        # substitution slots as a lax.fori_loop instead of Python
+        # unrolling.  The slot evaluations are independent and the bit
+        # OR is order-free, so results are bit-identical; the lowered
+        # module shrinks ~WPx at every pair-eval site (the face-angle
+        # machinery is 78% of the step module and dominates the remote
+        # compiler's warmup — docs/bench_r04_datapoints.json).
+        pair_scan = (_SLOT_SCAN and nw == 1
+                     and tuple(t_slots) == tuple(range(WP)))
         for s in (0, 1):
             p_eff = eff_ep[s]
             cur_p = cur_ep[s]
@@ -513,30 +526,31 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                                  cur_min_p[ep[s]] - det_eps)
             thr_mx = jnp.maximum(max_angle_rad,
                                  cur_max_p[ep[s]] + det_eps)
-            words = [jnp.zeros(eidx.shape, jnp.int32) for _ in range(nw)]
-            for ti, t in enumerate(t_slots):
-                if t < WP:
-                    q_id = q_all[s][t]
+
+            def slot_bit(q_id, _s=s, _other=1 - s, _p_eff=eff_ep[s],
+                         _cur_p=cur_ep[s], _dp=dp, _thr_mn=thr_mn,
+                         _thr_mx=thr_mx):
+                """Det bit for one substitution slot of side ``_s``:
+                q_id (K,) neighbour ids (-1 invalid), or None for the
+                self test (no neighbour substitution)."""
+                if q_id is not None:
                     q_ok = q_id >= 0
                     # q_id == -1 wraps to the last (pad) column of
                     # delta_T; the where() discards it
                     dq = [jnp.where(q_ok, delta_T[c, q_id], 0.0)
                           for c in range(3)]
-                else:  # self test: no neighbour substitution
-                    q_id = None
+                    # endpoints with substitution (q may be the other
+                    # endpoint; q is never p)
+                    q_is_other = (q_ok & (q_id == ep[_other])).astype(
+                        dtype)
+                    end_o = [cur_ep[_other][c] + q_is_other * dq[c]
+                             for c in range(3)]
+                else:  # self test
                     q_ok = None
                     dq = None
-                # endpoints with substitution (q may be the other
-                # endpoint; q is never p)
-                if q_id is not None:
-                    q_is_other = (q_ok & (q_id == ep[other])).astype(
-                        dtype)
-                    end_o = [cur_ep[other][c] + q_is_other * dq[c]
-                             for c in range(3)]
-                else:
-                    end_o = cur_ep[other]
-                e0c = p_eff if s == 0 else end_o
-                e1c = end_o if s == 0 else p_eff
+                    end_o = cur_ep[_other]
+                e0c = _p_eff if _s == 0 else end_o
+                e1c = end_o if _s == 0 else _p_eff
                 c_ctr = [0.5 * (e0c[c] + e1c[c]) for c in range(3)]
                 ev = [e1c[c] - e0c[c] for c in range(3)]
                 ev_n = jnp.maximum(jnp.sqrt(dot3(ev, ev)), VSMALL)
@@ -559,10 +573,10 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                             # fp_ids has invalid slots as -1; q_id >= 0
                             in_q = in_q | (fp_ids[w][j] == q_id)
                         in_q = (in_q & q_ok).astype(dtype) * inv_fn[w]
-                        fc = [fc0[w][c] + dp[c] * inv_fn[w]
+                        fc = [fc0[w][c] + _dp[c] * inv_fn[w]
                               + in_q * dq[c] for c in range(3)]
                     else:
-                        fc = [fc0[w][c] + dp[c] * inv_fn[w]
+                        fc = [fc0[w][c] + _dp[c] * inv_fn[w]
                               for c in range(3)]
                     pv.append(proj_unit(fc))
 
@@ -581,9 +595,24 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                     mx_t = jnp.where(c_mask[u], jnp.maximum(mx_t, ang),
                                      mx_t)
 
-                bit = ((mn_t < thr_mn) | (mx_t > thr_mx)).astype(
+                return ((mn_t < _thr_mn) | (mx_t > _thr_mx)).astype(
                     jnp.int32)
-                words[ti // 32] = words[ti // 32] | (bit << (ti % 32))
+
+            if pair_scan:
+                qs = jnp.stack(q_all[s])               # (WP, K)
+
+                def slot_body(t, w0):
+                    return w0 | (slot_bit(qs[t]) << (t % 32))
+
+                words = [jax.lax.fori_loop(
+                    0, WP, slot_body,
+                    jnp.zeros(eidx.shape, jnp.int32))]
+            else:
+                words = [jnp.zeros(eidx.shape, jnp.int32)
+                         for _ in range(nw)]
+                for ti, t in enumerate(t_slots):
+                    bit = slot_bit(q_all[s][t] if t < WP else None)
+                    words[ti // 32] = words[ti // 32] | (bit << (ti % 32))
             # packed det words over (2E,): one write per side per word
             tgt = jnp.where(rowv, s * E + eidx, 2 * E)
             for w in range(nw):
