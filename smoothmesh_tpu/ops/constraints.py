@@ -402,6 +402,19 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     # ~WPx smaller lowered module — see eval_edges_chunk).  Off by
     # default until the runtime effect is measured on device.
     _SLOT_SCAN = os.environ.get("SMOOTHMESH_FA_SLOT_SCAN", "0") == "1"
+    # Combined self+pair first pass (SMOOTHMESH_FA_COMBINED=1): one eval
+    # pass computes all WP pair bits AND the self bit (bit WP) per
+    # (edge, side), replacing the separate 1-slot self eval pass over
+    # all active edges.  Self bits are evaluated under the INCOMING
+    # freeze mask (same state today's self phase sees); pair bits
+    # depend on the mask only through the two endpoints' effective
+    # coordinates, so after the self agg only edges with a NEWLY
+    # self-frozen endpoint hold stale pair bits — exactly those are
+    # re-evaluated (list-driven) before the first pair agg, restoring
+    # bit-exact equality with the two-pass form.  Opt-in pending device
+    # measurement.  Needs the self bit in word 0 (WP + 1 <= 32).
+    _COMBINED = (os.environ.get("SMOOTHMESH_FA_COMBINED", "0") == "1"
+                 and WP + 1 <= 32)
     Ke = min(chunk if chunk else _k_default, E)
     Kp = min(chunk if chunk else _k_default, N)
 
@@ -644,7 +657,10 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     # coordinates (src/smoothMesh.C:1379-1400 before :1402-1433).
     def self_agg_chunk(idx, rowv, state):
         frozen_cur, bufs = state
-        det = _point_det_from_bufs(idx, bufs, 1)[:, 0]
+        if _COMBINED:  # self bit rides bit WP of the combined words
+            det = _point_det_from_bufs(idx, bufs, WP + 1)[:, WP]
+        else:
+            det = _point_det_from_bufs(idx, bufs, 1)[:, 0]
         self_det = det & rowv & moving[idx] & ~frozen_cur[idx]
         new_frozen = frozen_cur.at[
             jnp.where(self_det, idx, N)].set(True, mode="drop")
@@ -806,12 +822,65 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
             _, newly, _ = state
             return jnp.any(newly)
 
-        frozen = self_phase(frozen)
-        # first full pair pass over all active edges
-        bufs = chunked(
-            lambda ei, rv, b: eval_edges_chunk(frozen, ei, rv, b,
-                                               tuple(range(WP))),
-            _new_bufs(WP), ae_idx, n_active_e, Ke)
+        if _COMBINED:
+            # One pass computes pair bits 0..WP-1 and the self bit WP
+            # for every active edge under the INCOMING mask.
+            bufs = chunked(
+                lambda ei, rv, b: eval_edges_chunk(frozen, ei, rv, b,
+                                                   tuple(range(WP + 1))),
+                _new_bufs(WP + 1), ae_idx, n_active_e, Ke)
+            frozen_s, _ = chunked(
+                self_agg_chunk, (frozen, bufs), act_idx, n_active, Kp)
+            newly_self = frozen_s & ~frozen
+            if newly_self.shape[0] > N:
+                newly_self = newly_self & (
+                    jnp.arange(newly_self.shape[0]) < N)
+
+            # Pair bits are stale exactly on edges with a newly
+            # self-frozen endpoint; refresh those rows under frozen_s
+            # (no agg).  Self bits of refreshed rows are overwritten
+            # with zeros (t_slots excludes WP) — they are never read
+            # again.  List-driven like sweep_fast, with the mask-based
+            # fallback when more than K_NEW points self-froze.
+            def reeval_fast(bufs):
+                n_new = jnp.sum(newly_self)
+                new_idx = jnp.nonzero(newly_self, size=K_NEW,
+                                      fill_value=0)[0]
+                nrow = jnp.arange(K_NEW) < n_new
+                dev = (pe_tab_mask[new_idx] & nrow[:, None]).reshape(-1)
+                de_flat = pe_tab[new_idx].reshape(-1)
+                pos = jnp.nonzero(dev, size=K_NEW * WE, fill_value=0)[0]
+                de_list = de_flat[pos]
+                n_de = jnp.sum(dev)
+                return chunked(
+                    lambda ei, rv, b: eval_edges_chunk(
+                        frozen_s, ei, rv, b, tuple(range(WP))),
+                    bufs, de_list, n_de, min(Ke, K_NEW * WE))
+
+            def reeval_slow(bufs):
+                dirty_e = (newly_self[edges_arr[:, 0]]
+                           | newly_self[edges_arr[:, 1]]) & active_e
+                de_idx = jnp.nonzero(dirty_e, size=E, fill_value=0)[0]
+                n_de = jnp.sum(dirty_e)
+                return chunked(
+                    lambda ei, rv, b: eval_edges_chunk(
+                        frozen_s, ei, rv, b, tuple(range(WP))),
+                    bufs, de_idx, n_de, Ke)
+
+            def reeval(bufs):
+                return jax.lax.cond(jnp.sum(newly_self) <= K_NEW,
+                                    reeval_fast, reeval_slow, bufs)
+
+            bufs = jax.lax.cond(jnp.any(newly_self), reeval,
+                                lambda b: b, bufs)
+            frozen = frozen_s
+        else:
+            frozen = self_phase(frozen)
+            # first full pair pass over all active edges
+            bufs = chunked(
+                lambda ei, rv, b: eval_edges_chunk(frozen, ei, rv, b,
+                                                   tuple(range(WP))),
+                _new_bufs(WP), ae_idx, n_active_e, Ke)
         frozen_new, _, bufs = chunked(
             pair_agg_chunk, (frozen, jnp.asarray(False), bufs),
             act_idx, n_active, Kp)

@@ -145,6 +145,29 @@ def test_face_angle_sweep_paths_agree(setup, monkeypatch):
     assert np.array_equal(outs[0], outs[1])
 
 
+def test_face_angle_combined_pass_matches_oracle(setup, monkeypatch):
+    """SMOOTHMESH_FA_COMBINED=1 (single eval pass computing pair + self
+    bits, with list-driven re-eval of edges whose endpoint self-froze)
+    must be bit-identical to the two-pass default and the oracle, on
+    both the fast re-eval path and the mask-based fallback (cap=1
+    forces the fallback whenever >1 point self-froze)."""
+    m, t, td, pts, ctrs = setup
+    cent = centroidal_smoothing(pts, ctrs, td, do_boundary_smoothing=False)
+    prop = constrain_max_step_length(pts, cent, 0.05, 0.5)
+    frozen0 = jnp.zeros(t.n_points, dtype=bool)
+    ref = oracle.face_angle_freeze(
+        t, m.points, np.asarray(ctrs), np.asarray(prop), 80.0, 100.0,
+        np.zeros(t.n_points, dtype=bool))
+    monkeypatch.setenv("SMOOTHMESH_FA_COMBINED", "1")
+    for cap in ("1", "32768"):
+        monkeypatch.setenv("SMOOTHMESH_FA_DIRTY_CAP", cap)
+        ours = restrict_face_angle_deterioration(
+            pts, ctrs, prop, td, np.deg2rad(80.0), np.deg2rad(100.0),
+            frozen0)
+        assert np.array_equal(np.asarray(ours), ref)
+    assert ref.any()
+
+
 def test_residual():
     pts = jnp.zeros((5, 3))
     new = pts.at[2, 0].set(0.004)
