@@ -17,6 +17,43 @@ import numpy as np
 from smoothmesh_tpu.mesh.topology import MeshTopology
 
 
+#: Host-packed face-angle tables: each replaces 2-3 separate staged
+#: arrays read by ops.constraints.restrict_face_angle_deterioration,
+#: cutting both resident HBM (~1.2 GB at the 10M-cell scale) and the
+#: kernel's per-chunk gather rows (one gather instead of 2-3).
+FA_PACKED_KEYS = frozenset({
+    "ecf_packed", "fps_signed", "pps_signed", "pe_flat"})
+
+
+def _fa_packed(topo: MeshTopology) -> Dict[str, np.ndarray]:
+    """Build the packed face-angle tables on host (numpy).
+
+    - ``ecf_packed``: edge_cell_f0 | f1 << sb | valid << 2*sb (the same
+      packing the kernel previously did on device every call)
+    - ``fps_signed`` / ``pps_signed``: face/point neighbour ids with
+      the validity mask folded in as -1
+    - ``pe_flat``: point_edges_side * E + point_edges with invalid
+      slots as -1 (E = the edges array's padded row count, matching the
+      kernel's flat det-buffer indexing)
+    """
+    wf = topo.edge_faces.shape[1]
+    sb = max(wf, 1).bit_length()
+    ecf = (topo.edge_cell_f0.astype(np.int32)
+           + (topo.edge_cell_f1.astype(np.int32) << sb)
+           + (topo.edge_cells_mask.astype(np.int32) << (2 * sb)))
+    fps = np.where(topo.face_mask, topo.face_points, -1).astype(np.int32)
+    pps = np.where(topo.point_points_mask,
+                   topo.point_points, -1).astype(np.int32)
+    e_rows = topo.edges.shape[0]
+    if 2 * e_rows >= 2**31:  # flat (side, edge) ids must fit int32
+        raise ValueError("mesh too large for int32 flat edge ids")
+    pef = np.where(topo.point_edges_mask,
+                   topo.point_edges_side.astype(np.int64) * e_rows
+                   + topo.point_edges, -1).astype(np.int32)
+    return {"ecf_packed": ecf, "fps_signed": fps, "pps_signed": pps,
+            "pe_flat": pef}
+
+
 def to_device(topo: MeshTopology, keys=None) -> Dict[str, jnp.ndarray]:
     """Stage topology arrays (int32 indices, bool masks) on device.
 
@@ -82,6 +119,14 @@ def to_device(topo: MeshTopology, keys=None) -> Dict[str, jnp.ndarray]:
         if getattr(topo, "cell_valid_rows", None) is not None
         else np.ones(topo.n_cells, dtype=bool),
     }
-    if keys is not None:
+    if keys is None:
+        # full dict: packed forms ride along (the face-angle kernel
+        # prefers them; legacy keys stay for the other consumers)
+        host.update(_fa_packed(topo))
+    else:
         host = {k: v for k, v in host.items() if k in keys}
+        wanted = FA_PACKED_KEYS & set(keys)
+        if wanted:
+            pk = _fa_packed(topo)
+            host.update({k: pk[k] for k in wanted})
     return {k: jnp.asarray(v) for k, v in host.items()}

@@ -62,10 +62,14 @@ class StepResult:
 # tests/test_trimmed_td.py re-derives this set with a recording dict
 # and asserts equality, so it cannot silently drift.
 PLANAR_TD_KEYS = frozenset({
-    "edge_cell_f0", "edge_cell_f1", "edge_cells", "edge_cells_mask",
-    "edge_faces", "edge_valid", "edges", "face_mask", "face_npoints",
-    "face_points", "point_edges", "point_edges_mask",
-    "point_edges_side", "point_points", "point_points_mask",
+    # the face-angle fixed point's tables, in their host-packed forms
+    # (device.FA_PACKED_KEYS): ecf_packed replaces edge_cell_f0/f1 +
+    # edge_cells_mask, fps_signed replaces face_points + face_mask,
+    # pps_signed replaces point_points + point_points_mask, pe_flat
+    # replaces point_edges + side + mask — ~1.2 GB less resident HBM
+    # and fewer agg-phase gathers at the 10M-cell scale
+    "edge_cells", "edge_faces", "edge_valid", "edges", "face_npoints",
+    "ecf_packed", "fps_signed", "pps_signed", "pe_flat",
 })
 
 

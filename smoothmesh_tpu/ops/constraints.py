@@ -379,9 +379,13 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     # case costs just the per-edge pass above.
     N = n_points if transposed else points.shape[0]
     any_active = jnp.any(active)
-    pp = td["point_points"]                              # (N, WP)
-    pp_mask = td["point_points_mask"]
-    WP = pp.shape[1]
+    # Packed tables (device.FA_PACKED_KEYS) when staged; otherwise
+    # derived from the legacy separate arrays (manually built tds).
+    pps_signed = td["pps_signed"] if "pps_signed" in td else None
+    if pps_signed is None:
+        pps_signed = jnp.where(td["point_points_mask"],
+                               td["point_points"], -1)
+    WP = pps_signed.shape[1]
     edges_arr = td["edges"]
     E = edges_arr.shape[0]
     # Eval/agg chunk width.  ``chunk`` (driver.default_face_angle_chunk)
@@ -417,6 +421,18 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                  and WP + 1 <= 32)
     Ke = min(chunk if chunk else _k_default, E)
     Kp = min(chunk if chunk else _k_default, N)
+    # First-pass eval chunk: the FULL pass over active edges runs
+    # ceil(E_active/K) serial while-loop steps whose fixed per-step
+    # latency dominates (round-3: ~1.7 ms/step at K=16384), so a wider
+    # K pays off there — while dirty sweeps, whose active sets are tiny
+    # after the first pass, pay at least ONE full-chunk-width eval per
+    # sweep and measurably regress with wide K (the K=65536-everywhere
+    # negative above).  Splitting the widths captures both: wide first
+    # pass, narrow sweeps.  An explicit ``chunk`` (the driver's HBM cap
+    # at large N) bounds both.
+    _k_first = int(os.environ.get("SMOOTHMESH_FA_FIRST_CHUNK",
+                                  str(_k_default)))
+    Ke_first = min(chunk if chunk else _k_first, E)
 
     # Active sets are compacted to exact entry lists with jnp.nonzero
     # and streamed in fixed-size chunks.  MEASURED NEGATIVE ALTERNATIVE
@@ -462,17 +478,26 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     delta_T = proposed_T - points_T       # per-point move (3, N)
     WF = td["edge_faces"].shape[1]
     WC = td["edge_cells"].shape[1]
-    WPf = td["face_points"].shape[1]
     # gather-count reductions (the eval is gather-bound): face-point
     # ids with the validity mask folded in as -1 (halves the fp
     # gathers), and (f0, f1, cell-mask) packed into one int32 per
     # edge-cell slot (3 gathers -> 1)
-    fps_signed = jnp.where(td["face_mask"], td["face_points"], -1)
-    pps_signed = jnp.where(pp_mask, pp, -1)
+    fps_signed = td["fps_signed"] if "fps_signed" in td else None
+    if fps_signed is None:
+        fps_signed = jnp.where(td["face_mask"], td["face_points"], -1)
     _sb = max(WF, 1).bit_length()
-    ecf_packed = (td["edge_cell_f0"]
-                  + (td["edge_cell_f1"] << _sb)
-                  + (td["edge_cells_mask"].astype(jnp.int32) << (2 * _sb)))
+    ecf_packed = td["ecf_packed"] if "ecf_packed" in td else None
+    if ecf_packed is None:
+        ecf_packed = (td["edge_cell_f0"]
+                      + (td["edge_cell_f1"] << _sb)
+                      + (td["edge_cells_mask"].astype(jnp.int32)
+                         << (2 * _sb)))
+    WPf = fps_signed.shape[1]
+    pe_flat = td["pe_flat"] if "pe_flat" in td else None
+    if pe_flat is None:
+        pe_flat = jnp.where(td["point_edges_mask"],
+                            td["point_edges_side"] * E
+                            + td["point_edges"], -1)
 
     # ---- det-bitmask buffers ------------------------------------------
     # The deterioration test on a point's NEW min/max over its edges
@@ -635,11 +660,10 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     def _point_det_from_bufs(idx, bufs, T):
         """(Kp, T) det bools: OR of the packed edge det words over each
         point's edge set, unpacked."""
-        pe = td["point_edges"][idx]                      # (Kp, WE)
-        pside = td["point_edges_side"][idx]
-        pmask = td["point_edges_mask"][idx]
-        flat = pside * E + pe                            # (Kp, WE)
-        WE = pe.shape[1]
+        pf = pe_flat[idx]                                # (Kp, WE)
+        pmask = pf >= 0
+        flat = jnp.maximum(pf, 0)                        # (Kp, WE)
+        WE = pf.shape[1]
         acc = []
         for wd in range(_n_words(T)):
             a = jnp.zeros(idx.shape, jnp.int32)
@@ -671,9 +695,10 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
         frozen_cur, changed, bufs = state
         det = _point_det_from_bufs(idx, bufs, WP)
         det &= rowv[:, None]
-        b_pp = pp[idx]
+        bs = pps_signed[idx]
+        b_pp = jnp.maximum(bs, 0)
         q_moving = moving[b_pp] & ~frozen_cur[b_pp]
-        bad = det & pp_mask[idx] & q_moving
+        bad = det & (bs >= 0) & q_moving
         new_frozen = frozen_cur.at[
             jnp.where(bad, b_pp, N).reshape(-1)].set(True, mode="drop")
         changed = changed | jnp.any(bad)
@@ -709,7 +734,7 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
             bufs = chunked(
                 lambda ei, rv, b: eval_edges_chunk(frozen, ei, rv, b,
                                                    (WP,)),
-                _new_bufs(1), ae_idx, n_active_e, Ke)
+                _new_bufs(1), ae_idx, n_active_e, Ke_first)
             frozen, _ = chunked(
                 self_agg_chunk, (frozen, bufs), act_idx, n_active, Kp)
             return frozen
@@ -724,9 +749,8 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
         # and .set(True) is idempotent, so this reaches the exact same
         # fixed point as re-evaluating everything — sweeps after the
         # first cost O(dirty).
-        pe_tab = td["point_edges"][:N]
-        pe_tab_mask = td["point_edges_mask"][:N]
-        WE = pe_tab.shape[1]
+        pef_tab = pe_flat[:N]
+        WE = pef_tab.shape[1]
         # List-driven dirty sweeps: the dirty sets derive ENTIRELY from
         # the (few) newly frozen points — dirty edges are their incident
         # edges, dirty points are them + their edge-neighbours — so the
@@ -756,8 +780,10 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
             # dirty edges = edges incident to newly frozen points,
             # compacted to a contiguous prefix so the chunked
             # while-loop runs ceil(n_de / Ke) steps
-            dev = (pe_tab_mask[new_idx] & nrow[:, None]).reshape(-1)
-            de_flat = pe_tab[new_idx].reshape(-1)
+            pfv = pef_tab[new_idx]                       # (K_NEW, WE)
+            dev = ((pfv >= 0) & nrow[:, None]).reshape(-1)
+            ev = jnp.maximum(pfv, 0)
+            de_flat = jnp.where(ev >= E, ev - E, ev).reshape(-1)
             pos = jnp.nonzero(dev, size=K_NEW * WE, fill_value=0)[0]
             de_list = de_flat[pos]
             n_de = jnp.sum(dev)
@@ -767,10 +793,12 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                 bufs, de_list, n_de, min(Ke, K_NEW * WE))
             # dirty points = newly frozen points + their edge
             # neighbours, filtered to the active set
+            bs2 = pps_signed[new_idx]                    # (K_NEW, WP)
             dp_flat = jnp.concatenate(
-                [new_idx[:, None], pp[new_idx]], axis=1).reshape(-1)
+                [new_idx[:, None], jnp.maximum(bs2, 0)],
+                axis=1).reshape(-1)
             dpv = jnp.concatenate(
-                [nrow[:, None], pp_mask[new_idx] & nrow[:, None]],
+                [nrow[:, None], (bs2 >= 0) & nrow[:, None]],
                 axis=1).reshape(-1)
             dpv = dpv & active[dp_flat]
             posp = jnp.nonzero(dpv, size=K_NEW * (WP + 1),
@@ -801,8 +829,10 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
             # gathers produce the same OR at ~40 MB per temp.
             dirty_p = jnp.zeros((N,), dtype=bool)
             for _k in range(WE):
-                dirty_p = dirty_p | jnp.where(
-                    pe_tab_mask[:, _k], dirty_e[pe_tab[:, _k]], False)
+                pc = pef_tab[:, _k]
+                ec = jnp.maximum(pc, 0)
+                ec = jnp.where(ec >= E, ec - E, ec)
+                dirty_p = dirty_p | jnp.where(pc >= 0, dirty_e[ec], False)
             dirty_p = dirty_p & active[:N]
             dp_idx = jnp.nonzero(dirty_p, size=N, fill_value=0)[0]
             n_dp = jnp.sum(dirty_p)
@@ -828,7 +858,7 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
             bufs = chunked(
                 lambda ei, rv, b: eval_edges_chunk(frozen, ei, rv, b,
                                                    tuple(range(WP + 1))),
-                _new_bufs(WP + 1), ae_idx, n_active_e, Ke)
+                _new_bufs(WP + 1), ae_idx, n_active_e, Ke_first)
             frozen_s, _ = chunked(
                 self_agg_chunk, (frozen, bufs), act_idx, n_active, Kp)
             newly_self = frozen_s & ~frozen
@@ -847,8 +877,10 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                 new_idx = jnp.nonzero(newly_self, size=K_NEW,
                                       fill_value=0)[0]
                 nrow = jnp.arange(K_NEW) < n_new
-                dev = (pe_tab_mask[new_idx] & nrow[:, None]).reshape(-1)
-                de_flat = pe_tab[new_idx].reshape(-1)
+                pfv = pef_tab[new_idx]                   # (K_NEW, WE)
+                dev = ((pfv >= 0) & nrow[:, None]).reshape(-1)
+                ev = jnp.maximum(pfv, 0)
+                de_flat = jnp.where(ev >= E, ev - E, ev).reshape(-1)
                 pos = jnp.nonzero(dev, size=K_NEW * WE, fill_value=0)[0]
                 de_list = de_flat[pos]
                 n_de = jnp.sum(dev)
@@ -880,7 +912,7 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
             bufs = chunked(
                 lambda ei, rv, b: eval_edges_chunk(frozen, ei, rv, b,
                                                    tuple(range(WP))),
-                _new_bufs(WP), ae_idx, n_active_e, Ke)
+                _new_bufs(WP), ae_idx, n_active_e, Ke_first)
         frozen_new, _, bufs = chunked(
             pair_agg_chunk, (frozen, jnp.asarray(False), bufs),
             act_idx, n_active, Kp)

@@ -159,6 +159,9 @@ def test_face_angle_combined_pass_matches_oracle(setup, monkeypatch):
         t, m.points, np.asarray(ctrs), np.asarray(prop), 80.0, 100.0,
         np.zeros(t.n_points, dtype=bool))
     monkeypatch.setenv("SMOOTHMESH_FA_COMBINED", "1")
+    # the tiny first-pass chunk forces the chunked while-loop to take
+    # multiple steps (covers SMOOTHMESH_FA_FIRST_CHUNK < E_active)
+    monkeypatch.setenv("SMOOTHMESH_FA_FIRST_CHUNK", "64")
     for cap in ("1", "32768"):
         monkeypatch.setenv("SMOOTHMESH_FA_DIRTY_CAP", cap)
         ours = restrict_face_angle_deterioration(
