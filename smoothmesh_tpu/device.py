@@ -54,7 +54,8 @@ def _fa_packed(topo: MeshTopology) -> Dict[str, np.ndarray]:
             "pe_flat": pef}
 
 
-def to_device(topo: MeshTopology, keys=None) -> Dict[str, jnp.ndarray]:
+def to_device(topo: MeshTopology, keys=None,
+              fa_packed: bool = True) -> Dict[str, jnp.ndarray]:
     """Stage topology arrays (int32 indices, bool masks) on device.
 
     ``keys``: optional iterable restricting which arrays are staged.
@@ -63,6 +64,11 @@ def to_device(topo: MeshTopology, keys=None) -> Dict[str, jnp.ndarray]:
     (driver.PLANAR_TD_KEYS) — staging just those halves the device
     topology footprint and the host->device upload, which at the
     BASELINE 10M-cell scale is gigabytes over a ~45 MB/s tunnel.
+
+    ``fa_packed=False`` skips the packed face-angle tables in the full
+    dict for consumers that never run the face-angle kernel (e.g. the
+    quality report) — they cost host packing time plus ~1.2 GB of
+    duplicate device memory at the 10M-cell scale (ADVICE r4).
     """
     if keys is None or "face_is_real_boundary" in keys:
         real_patch = np.array(
@@ -122,7 +128,8 @@ def to_device(topo: MeshTopology, keys=None) -> Dict[str, jnp.ndarray]:
     if keys is None:
         # full dict: packed forms ride along (the face-angle kernel
         # prefers them; legacy keys stay for the other consumers)
-        host.update(_fa_packed(topo))
+        if fa_packed:
+            host.update(_fa_packed(topo))
     else:
         host = {k: v for k, v in host.items() if k in keys}
         wanted = FA_PACKED_KEYS & set(keys)

@@ -635,9 +635,24 @@ class HaloSmoother:
 
         pts_n = ((sh.local_points - self._center) * self._scale)
         if self.use_tile_engine:
+            # Same fallback contract as the single-chip Smoother
+            # (driver.py): engine-construction ValueErrors (point
+            # degree > 31, point_points width > 15, pool-locality
+            # violations) degrade to the engine-less dense path with a
+            # warning instead of crashing (ADVICE r4 medium).
             interpret = jax.default_backend() != "tpu"
-            self.engine, self._stacked_arr = build_stacked_engines(
-                sh.topos, interpret)
+            try:
+                self.engine, self._stacked_arr = build_stacked_engines(
+                    sh.topos, interpret)
+            except ValueError as e:
+                import warnings
+
+                warnings.warn(
+                    f"tile engine unavailable for this mesh ({e}); "
+                    "falling back to the engine-less halo path",
+                    RuntimeWarning)
+                self.use_tile_engine = False
+        if self.use_tile_engine:
             # The default halo iteration is pure iteration_body_planar:
             # stage only the planar key set (halves per-shard device
             # topology); the dense layer/boundary path upgrades to the
@@ -1179,7 +1194,9 @@ class HaloSmoother:
         lp = self.points                     # (D, Npad, 3) normalized
         parts = []
         for d in range(sh.n_shards):
-            td = to_device(sh.topos[d])
+            # quality never runs the face-angle kernel: skip the packed
+            # FA tables (host packing time + duplicate device memory)
+            td = to_device(sh.topos[d], fa_packed=False)
             parts.append(quality.quality_report_parts(
                 jnp.asarray(lp[d], dtype=self.dtype), td,
                 face_claim=jnp.asarray(sh.claim_face[d]),

@@ -72,3 +72,22 @@ def test_tiled_gather_matches_plain(topo, table_name, src_attr):
         jnp.asarray(x), pool, codes, table.shape[0], interpret=True))
     want = x[np.asarray(table, np.int64)]
     np.testing.assert_allclose(got[mask], want[mask], rtol=0, atol=0)
+
+
+def test_tiled_gather_fold2_interpret(topo, monkeypatch):
+    """fold>1 meta layout (fold_meta + stage_call's folded meta_idx).
+
+    pick_fold returns 1 in production (measured Mosaic sublane-block
+    constraint, see its docstring) which leaves the fold>1 branches
+    cold; this interpret-mode run keeps them correct in case the
+    constraint is ever lifted (ADVICE r4)."""
+    monkeypatch.setattr(tiled, "pick_fold", lambda rows: 2)
+    table, mask = topo.point_cells, topo.point_cells_mask
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((topo.n_cells, 3)).astype(np.float32)
+    pool, (codes,) = tiled.build_pool(table.shape[0], [(table, mask)],
+                                      topo.n_cells)
+    got = np.asarray(tiled.tiled_gather(
+        jnp.asarray(x), pool, codes, table.shape[0], interpret=True))
+    want = x[np.asarray(table, np.int64)]
+    np.testing.assert_allclose(got[mask], want[mask], rtol=0, atol=0)
