@@ -75,6 +75,16 @@ def capacity_probe():
 
 
 def main():
+    import jax
+
+    # same persistent compile cache as bench.py: the 216^3 remote
+    # compile costs ~1 h cold — pay it once, share it with the bench
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.jax_cache"))
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     n_side = int(os.environ.get("SMOOTHMESH_OOMPROBE_N", "216"))
     if os.environ.get("SMOOTHMESH_OOMPROBE_CAPACITY", "1") == "1":
         capacity_probe()
