@@ -44,7 +44,7 @@ def rss_gb() -> float:
 def main() -> None:
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 216
     D = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
     art = {"n_side": N, "n_shards": D,
            "mode": "halo-engineless-cpu-f32",
@@ -86,17 +86,39 @@ def main() -> None:
     for _ in range(iters):
         t2 = time.time()
         r = sm.steps(1)[-1]
+        # per-iter RSS: iteration-3 of the r4 run took 365 s vs 214 s —
+        # if RSS climbs toward the host limit here, that was paging
         steps.append({"iteration": r.iteration,
                       "residual": float(r.residual),
                       "n_frozen": int(r.n_frozen),
-                      "wall_s": round(time.time() - t2, 1)})
+                      "wall_s": round(time.time() - t2, 1),
+                      "rss_gb": round(rss_gb(), 2)})
         print("iter:", steps[-1], flush=True)
     art["iterations"] = steps
+    art["residual_monotone_decay"] = all(
+        b["residual"] <= a["residual"] * 1.05   # allow small plateaus
+        for a, b in zip(steps, steps[1:]))
+
+    # Cross-shard consistency: every replicated point's coordinates
+    # must agree bit-wise with the owner shard's copy (the consensus
+    # collective runs every iteration; any drift here is a sync bug)
+    lp = sm.points                              # (D, Npad, 3)
+    max_dev = 0.0
+    for d in range(D):
+        g = np.asarray(sh.l2g[d])
+        own = lp[sh.point_owner_shard[g], sh.point_owner_local[g]]
+        max_dev = max(max_dev,
+                      float(np.abs(lp[d, :len(g)] - own).max()))
+    art["cross_shard_max_coord_dev"] = max_dev
+    art["cross_shard_consistent"] = max_dev == 0.0
+    print(f"cross-shard max |dev| = {max_dev}", flush=True)
 
     t3 = time.time()
     q = sm.quality()     # per-shard parts assembly, no global compile
+    # full precision: cell volumes at 216^3 on a unit cube are ~1e-7 —
+    # round(v, 6) truncated min/max volume to 0.0 in the r4 artifact
     art["quality_after"] = {
-        k: (round(v, 6) if isinstance(v, float) else v)
+        k: (float(v) if isinstance(v, (float, np.floating)) else v)
         for k, v in q.items()}
     art["quality_s"] = round(time.time() - t3, 1)
     art["peak_rss_gb"] = round(rss_gb(), 2)

@@ -419,6 +419,12 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     # measurement.  Needs the self bit in word 0 (WP + 1 <= 32).
     _COMBINED = (os.environ.get("SMOOTHMESH_FA_COMBINED", "0") == "1"
                  and WP + 1 <= 32)
+    # Measurement-only (experiments/fabreakdown.py): truncate the fixed
+    # point after a named phase — none | prep | self | pair0 | pair1 |
+    # sweep1 | full.  Trace-time static; "full" (default) is production
+    # behavior with zero overhead.  Truncated returns fold a cheap data
+    # dependency on the phase's outputs so XLA cannot DCE the work.
+    _PHASE_CAP = os.environ.get("SMOOTHMESH_FA_PHASE_CAP", "full")
     Ke = min(chunk if chunk else _k_default, E)
     Kp = min(chunk if chunk else _k_default, N)
     # First-pass eval chunk: the FULL pass over active edges runs
@@ -723,12 +729,17 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
         # costs ~19 ms/iter at 64^3, so it lives INSIDE the
         # any_active cond: in-band meshes (the common converged regime)
         # skip it entirely (round-3 profile, experiments/profilestep.py).
+        if _PHASE_CAP == "none":
+            return frozen
         active_e = ((active[edges_arr[:, 0]] | active[edges_arr[:, 1]])
                     & td["edge_valid"])
         ae_idx = jnp.nonzero(active_e, size=E, fill_value=0)[0]
         n_active_e = jnp.sum(active_e)
         act_idx = jnp.nonzero(active, size=N, fill_value=0)[0]
         n_active = jnp.sum(active)
+        if _PHASE_CAP == "prep":
+            return frozen | ((n_active_e + n_active
+                              + ae_idx[-1] + act_idx[-1]) < 0)
 
         def self_phase(frozen):
             bufs = chunked(
@@ -908,17 +919,27 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
             frozen = frozen_s
         else:
             frozen = self_phase(frozen)
+            if _PHASE_CAP == "self":
+                return frozen
             # first full pair pass over all active edges
             bufs = chunked(
                 lambda ei, rv, b: eval_edges_chunk(frozen, ei, rv, b,
                                                    tuple(range(WP))),
                 _new_bufs(WP), ae_idx, n_active_e, Ke_first)
+            if _PHASE_CAP == "pair0":
+                return frozen | (bufs[0].max() < 0)
         frozen_new, _, bufs = chunked(
             pair_agg_chunk, (frozen, jnp.asarray(False), bufs),
             act_idx, n_active, Kp)
+        if _PHASE_CAP == "pair1":
+            return frozen_new
+        state0 = (frozen_new, frozen_new & ~frozen, bufs)
+        if _PHASE_CAP == "sweep1":
+            state1 = jax.lax.cond(sweep_cond(state0), sweep_body,
+                                  lambda st: st, state0)
+            return state1[0]
         frozen, _, _ = jax.lax.while_loop(
-            sweep_cond, sweep_body,
-            (frozen_new, frozen_new & ~frozen, bufs))
+            sweep_cond, sweep_body, state0)
         return frozen
 
     return jax.lax.cond(any_active, run_all, lambda f: f, frozen)
