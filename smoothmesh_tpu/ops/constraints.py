@@ -425,6 +425,19 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     # behavior with zero overhead.  Truncated returns fold a cheap data
     # dependency on the phase's outputs so XLA cannot DCE the work.
     _PHASE_CAP = os.environ.get("SMOOTHMESH_FA_PHASE_CAP", "full")
+    # Packed-row eval tables (SMOOTHMESH_FA_PACKED_EVAL): the eval is
+    # gather-ROW-bound (r5 fabreakdown: pair0 +290 ms at 64^3 stress ~=
+    # active_edges x ~124 gather rows / ~220M rows/s), and TPU gathers
+    # are padded-row-FETCH bound (r2 gatherbench: ~110-140 GB/s of
+    # padded rows) — a (N, W<=128) row gather costs about the same as a
+    # 1D gather but delivers W components.  Packing the per-point
+    # (cur, prop, cur_min, cur_max), per-face (fc, inv_fn) and per-cell
+    # (cc) float data into row tables built once per call cuts the eval
+    # to ~34 gather rows/edge.  Bit-exact: the same values are gathered
+    # and combined by the same ops (prop is stored, not delta, so
+    # eff = where(frz, cur, prop) stays bit-identical; dq = prop_q -
+    # cur_q equals the global delta_T values).  "1" on, "0" off.
+    _PACKED_EVAL = os.environ.get("SMOOTHMESH_FA_PACKED_EVAL", "0") == "1"
     Ke = min(chunk if chunk else _k_default, E)
     Kp = min(chunk if chunk else _k_default, N)
     # First-pass eval chunk: the FULL pass over active edges runs
@@ -522,30 +535,71 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     def _n_words(T):
         return -(-T // 32)
 
-    def eval_edges_chunk(frozen_cur, eidx, rowv, bufs, t_slots):
-        ep = [edges_arr[:, s][eidx] for s in (0, 1)]     # 2 x (K,)
-        cur_ep = [[points_T[c, ep[s]] for c in range(3)] for s in (0, 1)]
-        frz = [frozen_cur[ep[s]] for s in (0, 1)]
-        eff_ep = [[jnp.where(frz[s], cur_ep[s][c],
-                             proposed_T[c, ep[s]]) for c in range(3)]
-                  for s in (0, 1)]
-        fids = [td["edge_faces"][:, w][eidx] for w in range(WF)]
-        f_n = [td["face_npoints"][fids[w]].astype(dtype) for w in range(WF)]
-        inv_fn = [1.0 / jnp.maximum(f_n[w], 1.0) for w in range(WF)]
-        fc0 = [[fcb_T[c, fids[w]] for c in range(3)] for w in range(WF)]
-        fp_ids = [[fps_signed[:, j][fids[w]] for j in range(WPf)]
-                  for w in range(WF)]
-        cids = [td["edge_cells"][:, u][eidx] for u in range(WC)]
-        ecf = [ecf_packed[:, u][eidx] for u in range(WC)]
+    def eval_edges_chunk(frozen_cur, eidx, rowv, bufs, t_slots,
+                         ptabs=None):
+        if ptabs is not None:
+            # Packed-row gathers (SMOOTHMESH_FA_PACKED_EVAL): one row
+            # gather per entity instead of one gather per component.
+            Pf, Ff, Cc = ptabs
+            epv = edges_arr[eidx]                        # (K, 2)
+            ep = [epv[:, 0], epv[:, 1]]
+            pfv = [Pf[ep[s]] for s in (0, 1)]            # 2 x (K, 8)
+            cur_ep = [[pfv[s][:, c] for c in range(3)] for s in (0, 1)]
+            frz = [frozen_cur[ep[s]] for s in (0, 1)]
+            eff_ep = [[jnp.where(frz[s], pfv[s][:, c], pfv[s][:, 3 + c])
+                       for c in range(3)] for s in (0, 1)]
+            efv = td["edge_faces"][eidx]                 # (K, WF)
+            fids = [efv[:, w] for w in range(WF)]
+            ffv = [Ff[fids[w]] for w in range(WF)]       # WF x (K, 4)
+            inv_fn = [ffv[w][:, 3] for w in range(WF)]
+            fc0 = [[ffv[w][:, c] for c in range(3)] for w in range(WF)]
+            fpv = [fps_signed[fids[w]] for w in range(WF)]
+            fp_ids = [[fpv[w][:, j] for j in range(WPf)]
+                      for w in range(WF)]
+            ecv = td["edge_cells"][eidx]                 # (K, WC)
+            cids = [ecv[:, u] for u in range(WC)]
+            ecfv = ecf_packed[eidx]                      # (K, WC)
+            ecf = [ecfv[:, u] for u in range(WC)]
+            ccv = [Cc[cids[u]] for u in range(WC)]       # WC x (K, 3)
+            cc = [[ccv[u][:, c] for c in range(3)] for u in range(WC)]
+            qv = [pps_signed[ep[s]] for s in (0, 1)]     # 2 x (K, WP)
+            q_all = [[qv[s][:, t] for t in range(WP)] for s in (0, 1)]
+            thrs = [(jnp.minimum(min_angle_rad, pfv[s][:, 6] - det_eps),
+                     jnp.maximum(max_angle_rad, pfv[s][:, 7] + det_eps))
+                    for s in (0, 1)]
+        else:
+            ep = [edges_arr[:, s][eidx] for s in (0, 1)]     # 2 x (K,)
+            cur_ep = [[points_T[c, ep[s]] for c in range(3)]
+                      for s in (0, 1)]
+            frz = [frozen_cur[ep[s]] for s in (0, 1)]
+            eff_ep = [[jnp.where(frz[s], cur_ep[s][c],
+                                 proposed_T[c, ep[s]]) for c in range(3)]
+                      for s in (0, 1)]
+            fids = [td["edge_faces"][:, w][eidx] for w in range(WF)]
+            f_n = [td["face_npoints"][fids[w]].astype(dtype)
+                   for w in range(WF)]
+            inv_fn = [1.0 / jnp.maximum(f_n[w], 1.0) for w in range(WF)]
+            fc0 = [[fcb_T[c, fids[w]] for c in range(3)]
+                   for w in range(WF)]
+            fp_ids = [[fps_signed[:, j][fids[w]] for j in range(WPf)]
+                      for w in range(WF)]
+            cids = [td["edge_cells"][:, u][eidx] for u in range(WC)]
+            ecf = [ecf_packed[:, u][eidx] for u in range(WC)]
+            cc = [[cc_T[c, cids[u]] for c in range(3)] for u in range(WC)]
+            # validity folded into the id as -1 (fps_signed-style):
+            # halves the q gather rows (mask gathers disappear; -1 never
+            # matches a real fp/endpoint id and clamps harmlessly in
+            # delta_T reads)
+            q_all = [[pps_signed[:, t][ep[s]] for t in range(WP)]
+                     for s in (0, 1)]
+            thrs = [(jnp.minimum(min_angle_rad,
+                                 cur_min_p[ep[s]] - det_eps),
+                     jnp.maximum(max_angle_rad,
+                                 cur_max_p[ep[s]] + det_eps))
+                    for s in (0, 1)]
         c_mask = [(e >> (2 * _sb)) > 0 for e in ecf]
         f0 = [e & ((1 << _sb) - 1) for e in ecf]
         f1 = [(e >> _sb) & ((1 << _sb) - 1) for e in ecf]
-        cc = [[cc_T[c, cids[u]] for c in range(3)] for u in range(WC)]
-        # validity folded into the id as -1 (fps_signed-style): halves
-        # the q gather rows (mask gathers disappear; -1 never matches a
-        # real fp/endpoint id and clamps harmlessly in delta_T reads)
-        q_all = [[pps_signed[:, t][ep[s]] for t in range(WP)]
-                 for s in (0, 1)]
 
         def dot3(a, b):
             return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
@@ -566,10 +620,7 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
             cur_p = cur_ep[s]
             other = 1 - s
             dp = [p_eff[c] - cur_p[c] for c in range(3)]
-            thr_mn = jnp.minimum(min_angle_rad,
-                                 cur_min_p[ep[s]] - det_eps)
-            thr_mx = jnp.maximum(max_angle_rad,
-                                 cur_max_p[ep[s]] + det_eps)
+            thr_mn, thr_mx = thrs[s]
 
             def slot_bit(q_id, _s=s, _other=1 - s, _p_eff=eff_ep[s],
                          _cur_p=cur_ep[s], _dp=dp, _thr_mn=thr_mn,
@@ -579,10 +630,16 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                 self test (no neighbour substitution)."""
                 if q_id is not None:
                     q_ok = q_id >= 0
-                    # q_id == -1 wraps to the last (pad) column of
-                    # delta_T; the where() discards it
-                    dq = [jnp.where(q_ok, delta_T[c, q_id], 0.0)
-                          for c in range(3)]
+                    # q_id == -1 wraps to the last (pad) column/row of
+                    # delta_T / Pf; the where() discards it
+                    if ptabs is not None:
+                        qpf = ptabs[0][q_id]         # (K, 8)
+                        dq = [jnp.where(q_ok,
+                                        qpf[:, 3 + c] - qpf[:, c], 0.0)
+                              for c in range(3)]
+                    else:
+                        dq = [jnp.where(q_ok, delta_T[c, q_id], 0.0)
+                              for c in range(3)]
                     # endpoints with substitution (q may be the other
                     # endpoint; q is never p)
                     q_is_other = (q_ok & (q_id == ep[_other])).astype(
@@ -741,10 +798,38 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
             return frozen | ((n_active_e + n_active
                               + ae_idx[-1] + act_idx[-1]) < 0)
 
+        if _PACKED_EVAL:
+            # Row tables for the packed-row eval, built once per FA
+            # call (inside the any_active cond: in-band meshes never
+            # pay).  Pad rows are never gathered (all ids are valid
+            # entity ids; q_id == -1 wraps to the last row and the
+            # where() discards it).
+            def _fit1(a, L):
+                if a.shape[0] == L:
+                    return a
+                if a.shape[0] > L:
+                    return a[:L]
+                return jnp.pad(a, (0, L - a.shape[0]))
+
+            _pw = points_T.shape[1]
+            _fw = fcb_T.shape[1]
+            Pf = jnp.stack(
+                [points_T[0], points_T[1], points_T[2],
+                 proposed_T[0], proposed_T[1], proposed_T[2],
+                 _fit1(cur_min_p, _pw), _fit1(cur_max_p, _pw)], axis=1)
+            inv_fn_g = 1.0 / jnp.maximum(
+                _fit1(td["face_npoints"].astype(dtype), _fw), 1.0)
+            Ff = jnp.stack([fcb_T[0], fcb_T[1], fcb_T[2], inv_fn_g],
+                           axis=1)
+            Cc = jnp.stack([cc_T[0], cc_T[1], cc_T[2]], axis=1)
+            PT = (Pf, Ff, Cc)
+        else:
+            PT = None
+
         def self_phase(frozen):
             bufs = chunked(
                 lambda ei, rv, b: eval_edges_chunk(frozen, ei, rv, b,
-                                                   (WP,)),
+                                                   (WP,), PT),
                 _new_bufs(1), ae_idx, n_active_e, Ke_first)
             frozen, _ = chunked(
                 self_agg_chunk, (frozen, bufs), act_idx, n_active, Kp)
@@ -800,7 +885,7 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
             n_de = jnp.sum(dev)
             bufs = chunked(
                 lambda ei, rv, b: eval_edges_chunk(frozen_cur, ei, rv, b,
-                                                   tuple(range(WP))),
+                                                   tuple(range(WP)), PT),
                 bufs, de_list, n_de, min(Ke, K_NEW * WE))
             # dirty points = newly frozen points + their edge
             # neighbours, filtered to the active set
@@ -829,7 +914,7 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
             n_de = jnp.sum(dirty_e)
             bufs = chunked(
                 lambda ei, rv, b: eval_edges_chunk(frozen_cur, ei, rv, b,
-                                                   tuple(range(WP))),
+                                                   tuple(range(WP)), PT),
                 bufs, de_idx, n_de, Ke)
             # dirty points = points with a dirty incident edge: GATHER
             # over point_edges (scatter-max over the 2E edge endpoints
@@ -868,7 +953,8 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
             # for every active edge under the INCOMING mask.
             bufs = chunked(
                 lambda ei, rv, b: eval_edges_chunk(frozen, ei, rv, b,
-                                                   tuple(range(WP + 1))),
+                                                   tuple(range(WP + 1)),
+                                                   PT),
                 _new_bufs(WP + 1), ae_idx, n_active_e, Ke_first)
             frozen_s, _ = chunked(
                 self_agg_chunk, (frozen, bufs), act_idx, n_active, Kp)
@@ -897,7 +983,7 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                 n_de = jnp.sum(dev)
                 return chunked(
                     lambda ei, rv, b: eval_edges_chunk(
-                        frozen_s, ei, rv, b, tuple(range(WP))),
+                        frozen_s, ei, rv, b, tuple(range(WP)), PT),
                     bufs, de_list, n_de, min(Ke, K_NEW * WE))
 
             def reeval_slow(bufs):
@@ -907,7 +993,7 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
                 n_de = jnp.sum(dirty_e)
                 return chunked(
                     lambda ei, rv, b: eval_edges_chunk(
-                        frozen_s, ei, rv, b, tuple(range(WP))),
+                        frozen_s, ei, rv, b, tuple(range(WP)), PT),
                     bufs, de_idx, n_de, Ke)
 
             def reeval(bufs):
@@ -924,7 +1010,7 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
             # first full pair pass over all active edges
             bufs = chunked(
                 lambda ei, rv, b: eval_edges_chunk(frozen, ei, rv, b,
-                                                   tuple(range(WP))),
+                                                   tuple(range(WP)), PT),
                 _new_bufs(WP), ae_idx, n_active_e, Ke_first)
             if _PHASE_CAP == "pair0":
                 return frozen | (bufs[0].max() < 0)
