@@ -436,8 +436,18 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     # to ~34 gather rows/edge.  Bit-exact: the same values are gathered
     # and combined by the same ops (prop is stored, not delta, so
     # eff = where(frz, cur, prop) stays bit-identical; dq = prop_q -
-    # cur_q equals the global delta_T values).  "1" on, "0" off.
-    _PACKED_EVAL = os.environ.get("SMOOTHMESH_FA_PACKED_EVAL", "0") == "1"
+    # cur_q equals the global delta_T values).  MEASURED (2026-08-20):
+    # 64^3 stress 348.0 -> 188.8 ms/iter.  "1" on, "0" off, default
+    # auto: on below SMOOTHMESH_FA_PACK_MAX_PTS points (the tables are
+    # O(N+F+C) resident through the FA call; their worst-case
+    # lane-padded footprint at very large N is unmeasured on this
+    # runtime, so huge meshes keep the per-component path).
+    _pe = os.environ.get("SMOOTHMESH_FA_PACKED_EVAL", "auto")
+    if _pe == "auto":
+        _PACKED_EVAL = N <= int(os.environ.get(
+            "SMOOTHMESH_FA_PACK_MAX_PTS", str(4_200_000)))
+    else:
+        _PACKED_EVAL = _pe == "1"
     Ke = min(chunk if chunk else _k_default, E)
     Kp = min(chunk if chunk else _k_default, N)
     # First-pass eval chunk: the FULL pass over active edges runs
@@ -863,8 +873,13 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
         # froze in one sweep (typically only the first).
         import os as _os
 
+        # 8192 default (r5 measured: 64^3 stress 188.8 -> 162.8 ms/iter
+        # vs the old 32768 — the sweeps' fixed compaction machinery is
+        # K_NEW-sized).  Sweeps that freeze more than K_NEW points fall
+        # back to the exact mask-based sweep, so this is purely a
+        # fast-path width.
         K_NEW = min(int(_os.environ.get("SMOOTHMESH_FA_DIRTY_CAP",
-                                        "32768")), N)
+                                        "8192")), N)
 
         def sweep_fast(state):
             frozen_cur, newly, bufs = state
