@@ -399,9 +399,13 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     # 568.8 ms/iter (was 296.7) — dirty sweeps after the first pass
     # have tiny active sets, and every sweep still pays at least one
     # FULL-chunk-width eval, so an oversized K multiplies the
-    # per-sweep floor; jit warmup also grew to 800 s.  16384 is the
-    # round-3-profiled sweet spot.
-    _k_default = int(os.environ.get("SMOOTHMESH_FA_EVAL_CHUNK", "16384"))
+    # per-sweep floor; jit warmup also grew to 800 s.  MEASURED
+    # (2026-08-20, post packed-eval + DIRTY_CAP): narrowing the SWEEP
+    # chunk to 8192 while keeping the first pass at 16384 took 64^3
+    # stress 162.8 (loaded host) -> 143.9 ms/iter (quiet) — sweeps pay
+    # the per-sweep full-chunk-width floor, so the narrower width wins
+    # now that the first pass has its own knob (_k_first below).
+    _k_default = int(os.environ.get("SMOOTHMESH_FA_EVAL_CHUNK", "8192"))
     # Pair-slot fori_loop instead of Python unrolling (bit-identical;
     # ~WPx smaller lowered module — see eval_edges_chunk).  Off by
     # default until the runtime effect is measured on device.
@@ -459,8 +463,7 @@ def restrict_face_angle_deterioration(points, cell_ctrs, proposed, td,
     # negative above).  Splitting the widths captures both: wide first
     # pass, narrow sweeps.  An explicit ``chunk`` (the driver's HBM cap
     # at large N) bounds both.
-    _k_first = int(os.environ.get("SMOOTHMESH_FA_FIRST_CHUNK",
-                                  str(_k_default)))
+    _k_first = int(os.environ.get("SMOOTHMESH_FA_FIRST_CHUNK", "16384"))
     Ke_first = min(chunk if chunk else _k_first, E)
 
     # Active sets are compacted to exact entry lists with jnp.nonzero
